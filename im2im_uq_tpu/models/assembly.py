@@ -1,0 +1,127 @@
+"""Model assembly: trunk + uncertainty head + calibrated-λ state.
+
+Counterpart of the reference's ModelWithUncertainty / add_uncertainty
+(reference: core/models/add_uncertainty.py:15-87), redesigned functionally:
+the network is a single Flax module (``UQModel``), and the mutable bits the
+reference kept on the nn.Module — the calibrated ``lhat`` buffer, the loss
+function, the nested-set function, the params dict — live in an immutable
+pytree-friendly wrapper (``UQState``) whose apply paths are pure functions,
+so the whole train/calibrate/predict surface jits and shards cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from im2im_uq_tpu.models.heads import build_head, head_loss_fn
+from im2im_uq_tpu.models.unet import UNet, WNet
+from im2im_uq_tpu.ops import sets as set_ops
+
+__all__ = ["UQModel", "UQState", "add_uncertainty", "build_trunk"]
+
+
+class UQModel(nn.Module):
+    """trunk features → head output (forward = head(trunk(x)), add_uncertainty.py:25-27)."""
+
+    trunk: nn.Module
+    head: nn.Module
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return self.head(self.trunk(x, train=train))
+
+
+@dataclasses.dataclass(frozen=True)
+class UQState:
+    """A UQModel plus its variables, config params, and calibrated λ̂.
+
+    ``lhat is None`` until calibration, mirroring the reference's
+    uninitialized lhat buffer (add_uncertainty.py:20); ``nested_sets``
+    raises without an explicit λ in that case (add_uncertainty.py:40-44).
+    """
+
+    model: UQModel
+    variables: FrozenDict | dict
+    params: dict
+    lhat: Optional[float] = None
+
+    @property
+    def uncertainty_type(self) -> str:
+        return self.params["uncertainty_type"]
+
+    def apply(self, x: jax.Array, train: bool = False, mutable: Any = False):
+        return self.model.apply(self.variables, x, train=train, mutable=mutable)
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        return self.apply(x, train=False)
+
+    def loss_fn(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        return head_loss_fn(self.uncertainty_type)(pred, target, self.params)
+
+    def interval_params(self, output: jax.Array) -> set_ops.IntervalParams:
+        return set_ops.interval_params(output, self.uncertainty_type)
+
+    def _resolve_lam(self, lam):
+        if lam is None:
+            if self.lhat is None:
+                raise ValueError(
+                    "You have to specify lambda unless your model is already calibrated."
+                )
+            lam = self.lhat
+        return lam
+
+    def nested_sets_from_output(self, output: jax.Array, lam=None):
+        return set_ops.nested_sets_from_output(
+            output, self._resolve_lam(lam), self.uncertainty_type
+        )
+
+    def nested_sets(self, x: jax.Array, lam=None):
+        return self.nested_sets_from_output(self.forward(x), lam=lam)
+
+    def set_lhat(self, lhat: float) -> "UQState":
+        return dataclasses.replace(self, lhat=float(lhat))
+
+    def replace(self, **kw) -> "UQState":
+        return dataclasses.replace(self, **kw)
+
+
+def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
+    """Trunk factory for the router's model dispatch (reference router.py:80-84)."""
+    name = params.get("model", "UNet")
+    if name == "UNet":
+        return UNet(n_channels_out=1, dtype=dtype)
+    if name == "WNet":
+        return WNet(n_channels_out=1, dtype=dtype)
+    raise NotImplementedError(f"unknown trunk {name!r}")
+
+
+def add_uncertainty(
+    trunk: nn.Module,
+    params: dict,
+    *,
+    rng: Optional[jax.Array] = None,
+    example_input: Optional[jax.Array] = None,
+    dtype: Any = None,
+) -> UQState:
+    """Wrap a trunk with the configured uncertainty head (add_uncertainty.py:51-87).
+
+    When ``rng`` and ``example_input`` are given, the variables (params +
+    batch stats) are initialized eagerly; otherwise initialize later with
+    ``UQModel.init``.
+    """
+    head = build_head(
+        params["uncertainty_type"],
+        getattr(trunk, "n_channels_out", 1),
+        params,
+        dtype,
+    )
+    model = UQModel(trunk=trunk, head=head)
+    variables = {}
+    if rng is not None and example_input is not None:
+        variables = model.init(rng, example_input, train=False)
+    return UQState(model=model, variables=variables, params=dict(params), lhat=None)

@@ -1,0 +1,214 @@
+"""Uncertainty heads: Flax modules + pure loss functions, one per head type.
+
+Rebuild of the reference's finallayers (reference: core/models/finallayers/
+quantile_layer.py, quantile_l1_layer.py, gaussian_layer.py,
+residual_magnitude_layer.py, residual_magnitude_l1_layer.py, softmax_layer.py,
+inn_layer.py — each a {layer, loss_fn, nested_sets_fn} triple). The
+nested-set functions live in ops/sets.py as λ-factored pure functions; here
+are the modules and training losses.
+
+Layout contract: heads consume NHWC trunk features (B, H, W, 32) and emit
+``(B, K, H, W, C)`` — component axis right after batch, channels last — so
+component slices are contiguous and the per-pixel math stays on the VPU
+lanes. The softmax head emits (B, S, H, W, C) logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from im2im_uq_tpu.models.unet import conv3x3
+from im2im_uq_tpu.ops import losses as L
+
+__all__ = [
+    "QuantileHead",
+    "GaussianHead",
+    "ResidualMagnitudeHead",
+    "SoftmaxHead",
+    "build_head",
+    "head_loss_fn",
+    "HEAD_BUILDERS",
+    "HEAD_LOSS_FNS",
+]
+
+
+def _nhwc_to_component(ys: list[jax.Array]) -> jax.Array:
+    """Stack per-component NHWC maps into (B, K, H, W, C)."""
+    return jnp.stack(ys, axis=1)
+
+
+class QuantileHead(nn.Module):
+    """Three conv3x3 heads: lower quantile / prediction / upper quantile.
+
+    Reference QuantileRegressionLayer (quantile_layer.py:8-21) and the
+    identically-shaped INNLayer (inn_layer.py:8-20) / QuantileRegressionL1Layer.
+    """
+
+    n_channels_out: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        lo = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="lower")(x)
+        pred = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="prediction")(x)
+        hi = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="upper")(x)
+        return _nhwc_to_component([lo, pred, hi]).astype(jnp.float32)
+
+
+class GaussianHead(nn.Module):
+    """Mean + ReLU-rectified variance heads (gaussian_layer.py:7-17)."""
+
+    n_channels_out: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        mean = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="mean")(x)
+        var = nn.relu(
+            conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="variance")(x)
+        )
+        return _nhwc_to_component([mean, var]).astype(jnp.float32)
+
+
+class ResidualMagnitudeHead(nn.Module):
+    """Prediction + |residual-magnitude| heads (residual_magnitude_layer.py:7-17)."""
+
+    n_channels_out: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        pred = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="prediction")(x)
+        res = jnp.abs(
+            conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="residual_magnitude")(x)
+        )
+        return _nhwc_to_component([pred, res]).astype(jnp.float32)
+
+
+class SoftmaxHead(nn.Module):
+    """Per-output-channel S-way classifier over binned [0,1] values.
+
+    Reference SoftmaxLayer (softmax_layer.py:7-14): one conv3x3 with
+    ``num_softmax`` outputs per target channel; emits (B, S, H, W, C) logits.
+    """
+
+    num_softmax: int
+    n_channels_out: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        per_channel = [
+            conv3x3(self.num_softmax, cin, dtype=self.dtype, name=f"out{c}")(x)
+            for c in range(self.n_channels_out)
+        ]
+        # each (B, H, W, S) -> (B, S, H, W); stack channels last.
+        logits = jnp.stack(
+            [jnp.moveaxis(p, -1, 1) for p in per_channel], axis=-1
+        )
+        return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Training losses — pure functions of (head_output, target, params dict).
+# ---------------------------------------------------------------------------
+
+
+def quantile_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """w_lo·Pinball(q_lo) + w_hi·Pinball(q_hi) + w_mse·MSE (quantile_layer.py:23-32)."""
+    return (
+        params["q_lo_weight"] * L.pinball(pred[:, 0], target, params["q_lo"])
+        + params["q_hi_weight"] * L.pinball(pred[:, 2], target, params["q_hi"])
+        + params["mse_weight"] * L.mse(pred[:, 1], target)
+    )
+
+
+def quantile_l1_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """Same as quantile_loss with an L1 center term (quantile_l1_layer.py:23-32)."""
+    return (
+        params["q_lo_weight"] * L.pinball(pred[:, 0], target, params["q_lo"])
+        + params["q_hi_weight"] * L.pinball(pred[:, 2], target, params["q_hi"])
+        + params["mse_weight"] * L.l1(pred[:, 1], target)
+    )
+
+
+def gaussian_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """Heteroscedastic Gaussian NLL (gaussian_layer.py:19-24)."""
+    return L.gaussian_nll(pred[:, 0], target, pred[:, 1])
+
+
+def residual_magnitude_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """MSE(center) + MSE(residual head vs |error|) (residual_magnitude_layer.py:19-26).
+
+    Gradients flow through the |error| term's center prediction, matching
+    the reference (no detach there).
+    """
+    return L.mse(pred[:, 0], target) + L.mse(pred[:, 1], jnp.abs(target - pred[:, 0]))
+
+
+def residual_magnitude_l1_loss(
+    pred: jax.Array, target: jax.Array, params: dict
+) -> jax.Array:
+    """L1 center variant (residual_magnitude_l1_layer.py:19-26)."""
+    return L.l1(pred[:, 0], target) + L.mse(pred[:, 1], jnp.abs(target - pred[:, 0]))
+
+
+def softmax_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """Cross-entropy over bucketized [0,1] targets (softmax_layer.py:16-25)."""
+    labels = L.bucketize_targets(target, params["num_softmax"])
+    return L.softmax_cross_entropy(pred, labels, axis=1)
+
+
+def inn_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """MSE(center) + interval score on (lower, upper) (inn_layer.py:22-28)."""
+    return L.mse(pred[:, 1], target) + L.interval_score(
+        pred[:, 0], pred[:, 2], target, params["beta"]
+    )
+
+
+HEAD_LOSS_FNS: dict[str, Callable[[jax.Array, jax.Array, dict], jax.Array]] = {
+    "quantiles": quantile_loss,
+    "quantiles_l1": quantile_l1_loss,
+    "gaussian": gaussian_loss,
+    "residual_magnitude": residual_magnitude_loss,
+    "residual_magnitude_l1": residual_magnitude_l1_loss,
+    "softmax": softmax_loss,
+    "inn": inn_loss,
+}
+
+HEAD_BUILDERS: dict[str, Callable[[int, dict, Any], nn.Module]] = {
+    "quantiles": lambda n_out, p, dt: QuantileHead(n_out, dtype=dt),
+    "quantiles_l1": lambda n_out, p, dt: QuantileHead(n_out, dtype=dt),
+    "inn": lambda n_out, p, dt: QuantileHead(n_out, dtype=dt),
+    "gaussian": lambda n_out, p, dt: GaussianHead(n_out, dtype=dt),
+    "residual_magnitude": lambda n_out, p, dt: ResidualMagnitudeHead(n_out, dtype=dt),
+    "residual_magnitude_l1": lambda n_out, p, dt: ResidualMagnitudeHead(n_out, dtype=dt),
+    "softmax": lambda n_out, p, dt: SoftmaxHead(p["num_softmax"], n_out, dtype=dt),
+}
+
+
+def build_head(uncertainty_type: str, n_channels_out: int, params: dict, dtype: Any = None):
+    """Factory matching the reference add_uncertainty dispatch (add_uncertainty.py:51-87)."""
+    try:
+        return HEAD_BUILDERS[uncertainty_type](n_channels_out, params, dtype)
+    except KeyError:
+        raise NotImplementedError(
+            f"unknown uncertainty_type {uncertainty_type!r}"
+        ) from None
+
+
+def head_loss_fn(uncertainty_type: str):
+    try:
+        return HEAD_LOSS_FNS[uncertainty_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"unknown uncertainty_type {uncertainty_type!r}"
+        ) from None

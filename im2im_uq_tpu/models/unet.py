@@ -1,0 +1,218 @@
+"""Flax UNet / WNet trunks, NHWC, TPU-first.
+
+Re-design of the reference trunks (reference: core/models/trunks/unet.py:10-46,
+unet_parts.py:8-93, wnet.py:9-59): the same topology — DoubleConv encoder with
+4 maxpool downs (64→128→256→512→512 with bilinear upsampling), skip-concat
+decoder, and a 1×1 projection to ``n_channels_middle = 32`` trunk features —
+but laid out channels-last so conv channels ride the TPU lane dimension, with
+an optional bfloat16 compute dtype (params and BatchNorm statistics stay
+float32).
+
+Initialization follows torch's Conv2d default (kaiming-uniform with a=√5 ⇒
+U(±1/√fan_in) for kernels and biases) so training dynamics track the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from im2im_uq_tpu.ops.resize import upsample2x_align_corners
+
+__all__ = ["UNet", "WNet", "DoubleConv", "Down", "Up", "conv_kernel_init"]
+
+
+def conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default kernel init: U(±1/√fan_in), fan_in = kh·kw·cin.
+
+    Flax conv kernels are (kh, kw, cin, cout).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class _TorchBiasInit:
+    """torch Conv2d default bias init: U(±1/√fan_in) with the conv's fan_in."""
+
+    def __init__(self, fan_in: int):
+        self.bound = 1.0 / float(fan_in) ** 0.5
+
+    def __call__(self, key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -self.bound, self.bound)
+
+
+def conv3x3(features: int, in_features: int, dtype: Any = None, name: str | None = None):
+    return nn.Conv(
+        features,
+        (3, 3),
+        padding=1,
+        kernel_init=conv_kernel_init,
+        bias_init=_TorchBiasInit(9 * in_features),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def conv1x1(features: int, in_features: int, dtype: Any = None, name: str | None = None):
+    return nn.Conv(
+        features,
+        (1, 1),
+        kernel_init=conv_kernel_init,
+        bias_init=_TorchBiasInit(in_features),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 → BN → ReLU) × 2 (reference unet_parts.py:8-25).
+
+    BatchNorm uses torch defaults (eps 1e-5, torch momentum 0.1 ⇒ flax
+    momentum 0.9) and runs in float32 even under bf16 compute; under pjit
+    with a batch-sharded input the batch-stat reductions are global, i.e.
+    sync-BN across the data-parallel mesh for free.
+    """
+
+    features: int
+    mid_features: Optional[int] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = self.mid_features if self.mid_features is not None else self.features
+        for i, feats in enumerate((mid, self.features)):
+            x = conv3x3(feats, x.shape[-1], dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    """2×2 maxpool then DoubleConv (reference unet_parts.py:28-39)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class Up(nn.Module):
+    """Upsample, pad-to-match, skip-concat, DoubleConv (reference unet_parts.py:42-69)."""
+
+    features: int
+    bilinear: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
+        if self.bilinear:
+            x1 = upsample2x_align_corners(x1)
+            mid = x1.shape[-1] // 2 + x2.shape[-1] // 2
+        else:
+            half = x1.shape[-1] // 2
+            x1 = nn.ConvTranspose(
+                half,
+                (2, 2),
+                strides=(2, 2),
+                kernel_init=conv_kernel_init,
+                bias_init=_TorchBiasInit(4 * x1.shape[-1]),
+                dtype=self.dtype,
+                name="up",
+            )(x1)
+            mid = None
+        # Center-pad the upsampled map to the skip connection's spatial size
+        # (left gets diff//2, right the remainder — reference unet_parts.py:62).
+        dh = x2.shape[1] - x1.shape[1]
+        dw = x2.shape[2] - x1.shape[2]
+        x1 = jnp.pad(
+            x1,
+            ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
+        )
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return DoubleConv(self.features, mid_features=mid, dtype=self.dtype, name="conv")(
+            x, train
+        )
+
+
+class UNet(nn.Module):
+    """Classic 4-down/4-up UNet trunk emitting 32 feature channels.
+
+    Topology per reference core/models/trunks/unet.py:10-46 (bilinear=True:
+    encoder 64/128/256/512/512, decoder 256/128/64/64, 1×1 out-conv to 32).
+    Input/output are NHWC; ``n_channels_middle`` is the trunk-feature
+    contract consumed by the uncertainty heads.
+    """
+
+    n_channels_out: int = 1
+    bilinear: bool = True
+    dtype: Any = None
+    n_channels_middle: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        factor = 2 if self.bilinear else 1
+        x1 = DoubleConv(64, dtype=self.dtype, name="inc")(x, train)
+        x2 = Down(128, dtype=self.dtype, name="down1")(x1, train)
+        x3 = Down(256, dtype=self.dtype, name="down2")(x2, train)
+        x4 = Down(512, dtype=self.dtype, name="down3")(x3, train)
+        x5 = Down(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
+
+        x = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x5, x4, train)
+        x = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(x, x3, train)
+        x = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, x2, train)
+        x = Up(64, self.bilinear, dtype=self.dtype, name="up4")(x, x1, train)
+        x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
+        return x.astype(jnp.float32)
+
+
+class WNet(nn.Module):
+    """Dual-encoder UNet for two-channel inputs (reference wnet.py:9-59).
+
+    Each input channel gets its own 32/64/128/256/256 encoder; the decoder
+    consumes per-level concatenations of the two paths.
+    """
+
+    n_channels_out: int = 1
+    bilinear: bool = True
+    dtype: Any = None
+    n_channels_middle: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        factor = 2 if self.bilinear else 1
+        p1, p2 = x[..., 0:1], x[..., 1:2]
+
+        def encode(p: jax.Array, tag: str):
+            e1 = DoubleConv(32, dtype=self.dtype, name=f"{tag}inc")(p, train)
+            e2 = Down(64, dtype=self.dtype, name=f"{tag}down1")(e1, train)
+            e3 = Down(128, dtype=self.dtype, name=f"{tag}down2")(e2, train)
+            e4 = Down(256, dtype=self.dtype, name=f"{tag}down3")(e3, train)
+            e5 = Down(512 // factor, dtype=self.dtype, name=f"{tag}down4")(e4, train)
+            return e1, e2, e3, e4, e5
+
+        a = encode(p1, "p1")
+        b = encode(p2, "p2")
+        cat = lambda i: jnp.concatenate([a[i], b[i]], axis=-1)
+
+        x = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(
+            cat(4), cat(3), train
+        )
+        x = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(x, cat(2), train)
+        x = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, cat(1), train)
+        x = Up(64, self.bilinear, dtype=self.dtype, name="up4")(x, cat(0), train)
+        x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
+        return x.astype(jnp.float32)
