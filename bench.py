@@ -1,0 +1,143 @@
+"""Benchmark: flagship UNet+quantiles training throughput on the real TPU.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: training images/sec/chip at FastMRI geometry (320x320x1,
+the reference's headline workload — BASELINE.md north stars). Also measures
+RCPS calibration wall-clock for the <60 s north-star target and reports it
+in the extras.
+
+vs_baseline compares against BENCH_BASELINE.json (a measured reference-
+implementation number on available hardware) when present, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from im2im_uq_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+BATCH = 32
+IMAGE = 320
+TRAIN_STEPS = 20
+CALIB_N = 128
+NUM_LAMBDAS = 1000
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from im2im_uq_tpu.calibration.rcps import calibrate_model
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.parallel.mesh import data_parallel_mesh, replicate_tree
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    config = {
+        "model": "UNet",
+        "uncertainty_type": "quantiles",
+        "q_lo": 0.05,
+        "q_hi": 0.95,
+        "q_lo_weight": 1.0,
+        "q_hi_weight": 1.0,
+        "mse_weight": 1.0,
+        "alpha": 0.1,
+        "delta": 0.1,
+        "num_lambdas": NUM_LAMBDAS,
+        "minimum_lambda": 0.0,
+        "maximum_lambda": 6.0,
+        "rcps_loss": "fraction_missed",
+        "batch_size": 64,
+        "dataset": "synthetic",
+    }
+    n_chips = len(jax.devices())
+    mesh = data_parallel_mesh()
+
+    x0 = jnp.zeros((1, IMAGE, IMAGE, 1), jnp.float32)
+    state = add_uncertainty(
+        build_trunk(config), config, rng=jax.random.key(0), example_input=x0
+    )
+    tx = optax.adam(1e-3)
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables["batch_stats"],
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    ts = replicate_tree(mesh, ts)
+    step = make_train_step(state.model, head_loss_pe_fn("quantiles"), config, tx, mesh)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(BATCH, IMAGE, IMAGE, 1).astype(np.float32)
+    y = rng.randn(BATCH, IMAGE, IMAGE, 1).astype(np.float32)
+    mask = np.ones((BATCH,), np.float32)
+
+    # warmup/compile
+    ts, loss = step(ts, x, y, mask)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        ts, loss = step(ts, x, y, mask)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = BATCH * TRAIN_STEPS / dt / n_chips
+
+    # calibration wall-clock at FastMRI scale (forward + full λ-grid table + λ̂)
+    class _Synth:
+        def __len__(self):
+            return CALIB_N
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return (
+                r.randn(IMAGE, IMAGE, 1).astype(np.float32),
+                r.randn(IMAGE, IMAGE, 1).astype(np.float32),
+            )
+
+    state = state.replace(
+        variables={"params": ts.params, "batch_stats": ts.batch_stats}
+    )
+    calib_ds = _Synth()
+    t0 = time.perf_counter()
+    state, _ = calibrate_model(state, calib_ds, config, mesh=mesh, batch_size=32)
+    calib_seconds = time.perf_counter() - t0
+
+    baseline = None
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_file):
+        with open(base_file) as fh:
+            baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
+
+    print(
+        json.dumps(
+            {
+                "metric": "unet_train_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else 1.0,
+                "extras": {
+                    "batch": BATCH,
+                    "image": IMAGE,
+                    "n_chips": n_chips,
+                    "calibration_seconds_n128_L1000": round(calib_seconds, 2),
+                    "lhat": state.lhat,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""RCPS calibration engine: on-device loss tables + host-side λ̂ selection.
+
+Counterpart of the reference calibration engine (reference:
+core/calibration/calibrate_model.py:89-145 ``calibrate_model``, 62-74
+``evaluate_from_loss_table``, 82-87 ``get_rcps_loss_fn``), redesigned for
+TPU: the reference's two nested hot loops (per-λ Python loop × per-batch
+set construction, calibrate_model.py:134-136) collapse into a single jitted
+program per batch that emits that batch's entire (B, num_lambdas) loss-table
+slab — the model forward runs ONCE per example, the softmax/cumsum quantile
+extraction runs ONCE (not once per λ), and the per-λ work is pure VPU
+elementwise math. The Hoeffding–Bentkus bound stays on host scipy for
+exactness (SURVEY.md §7 "hard parts").
+
+Semantics preserved exactly (SURVEY.md §2 quirk list):
+- λ grid descends; the loss is evaluated at ``λ − dλ`` while the table
+  column is tagged λ (calibrate_model.py:134-136);
+- λ̂ initializes to ``λ_max + dλ − 1e−9`` and is set to the first λ (from
+  above) where ``Rhat ≥ α or HB⁺(Rhat) > α`` (calibrate_model.py:131,140-144);
+- table columns below the stopping λ remain zero (the reference breaks out
+  of the fill loop);
+- ``evaluate_from_loss_table`` selects the first λ with HB⁺ ≤ δ (the
+  reference compares against δ, not α — calibrate_model.py:70; preserved).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from im2im_uq_tpu.calibration.bounds import HB_mu_plus
+from im2im_uq_tpu.data.core import iterate_batches
+from im2im_uq_tpu.models.assembly import UQState
+from im2im_uq_tpu.ops import sets as set_ops
+from im2im_uq_tpu.parallel import mesh as mesh_lib
+
+__all__ = [
+    "lambda_grid",
+    "rcps_loss_fn_name",
+    "compute_loss_table",
+    "calibrate_model",
+    "evaluate_from_loss_table",
+]
+
+
+def lambda_grid(config: dict) -> np.ndarray:
+    """linspace λ grid; softmax heads use their own range (calibrate_model.py:97-100)."""
+    if config["uncertainty_type"] == "softmax":
+        lo, hi = config["minimum_lambda_softmax"], config["maximum_lambda_softmax"]
+    else:
+        lo, hi = config["minimum_lambda"], config["maximum_lambda"]
+    return np.linspace(lo, hi, config["num_lambdas"], dtype=np.float64)
+
+
+def rcps_loss_fn_name(config: dict) -> str:
+    """Registry check; only 'fraction_missed' exists (calibrate_model.py:82-87)."""
+    name = config["rcps_loss"]
+    if name != "fraction_missed":
+        raise NotImplementedError(f"unknown rcps loss {name!r}")
+    return name
+
+
+def _make_table_step(uq_state: UQState, lam_values: np.ndarray, mesh, method: str):
+    """Jitted: (variables, x, y) → (B, L) fraction-missed table slab."""
+    lam = jnp.asarray(lam_values, jnp.float32)
+    utype = uq_state.uncertainty_type
+    model = uq_state.model
+
+    def step(variables, x, y):
+        out = model.apply(variables, x, train=False)
+        params = set_ops.interval_params(out, utype)
+        return set_ops.rcps_loss_table(params, y, lam, method=method)
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = mesh_lib.replicated(mesh)
+    shard = mesh_lib.batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, shard, shard), out_shardings=shard)
+
+
+def compute_loss_table(
+    uq_state: UQState,
+    dataset,
+    lam_values: np.ndarray,
+    batch_size: int = 64,
+    mesh=None,
+    method: str = "direct",
+) -> np.ndarray:
+    """(N, L) fraction-missed table for ``dataset`` at the given λ values.
+
+    One compiled program per batch shape; each batch's model forward and
+    interval factorization happen exactly once. Batches are sharded over
+    the mesh, so on a pod slice each device computes its row shard and the
+    host gathers real rows only (padding masked out).
+    """
+    step = _make_table_step(uq_state, lam_values, mesh, method)
+    rows = []
+    for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
+        slab = np.asarray(jax.device_get(step(uq_state.variables, x, y)))
+        rows.append(slab[mask.astype(bool)])
+    return np.concatenate(rows, axis=0)
+
+
+def calibrate_model(
+    uq_state: UQState,
+    dataset,
+    config: dict,
+    mesh=None,
+    batch_size: Optional[int] = None,
+    method: str = "direct",
+) -> tuple[UQState, np.ndarray]:
+    """RCPS calibration: λ̂ selection + calibration loss table.
+
+    Returns (calibrated UQState, (N, num_lambdas) table). See module
+    docstring for the preserved reference semantics.
+    """
+    alpha, delta = config["alpha"], config["delta"]
+    lambdas = lambda_grid(config)
+    rcps_loss_fn_name(config)
+    dlambda = lambdas[1] - lambdas[0]
+    uq_state = uq_state.set_lhat(float(lambdas[-1] + dlambda - 1e-9))
+
+    bs = batch_size or config.get("batch_size", 64)
+    # Entire table at (λ − dλ) in one device sweep; the reference recomputes
+    # sets per λ per batch on GPU→CPU ping-pong (calibrate_model.py:134-136).
+    table = compute_loss_table(
+        uq_state, dataset, lambdas - dlambda, batch_size=bs, mesh=mesh, method=method
+    )
+    n = table.shape[0]
+
+    stop_j = None
+    for j in range(len(lambdas) - 1, -1, -1):
+        rhat = float(table[:, j].mean())
+        rhat_plus = HB_mu_plus(rhat, n, delta)
+        if rhat >= alpha or rhat_plus > alpha:
+            uq_state = uq_state.set_lhat(float(lambdas[j]))
+            stop_j = j
+            print(f"Model's lhat set to {uq_state.lhat}")
+            break
+
+    calib_loss_table = table.copy()
+    if stop_j is not None and stop_j > 0:
+        # the reference stops filling once it breaks; earlier columns are zero
+        calib_loss_table[:, :stop_j] = 0.0
+    return uq_state, calib_loss_table
+
+
+def evaluate_from_loss_table(
+    loss_table: np.ndarray,
+    n: int,
+    alpha: float,
+    delta: float,
+    rng: Optional[np.random.RandomState] = None,
+) -> float:
+    """One random calib/val re-split trial: pick λ̂ on the calib half via HB,
+    report the val half's risk at λ̂ (calibrate_model.py:62-74).
+
+    HB is evaluated lazily in grid order and stops at the first accepted λ,
+    which matches the reference's ``nonzero()[0]`` first-index selection
+    without bounding all L columns.
+    """
+    rng = rng or np.random
+    perm = rng.permutation(loss_table.shape[0])
+    shuffled = loss_table[perm]
+    calib, val = shuffled[:n], shuffled[n:]
+    rhats = calib.mean(axis=0)
+    idx = 0  # reference falls back to 0 when nothing is accepted
+    for j, rhat in enumerate(rhats):
+        if HB_mu_plus(float(rhat), n, delta) <= delta:
+            idx = j
+            break
+    else:
+        print("No rejections made!")
+    return float(val[:, idx].mean())

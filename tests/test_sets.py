@@ -141,10 +141,13 @@ def test_loss_table_fast_agrees_with_direct(head):
     params = S.interval_params(out, head)
     direct = np.asarray(S.rcps_loss_table(params, labels, lam_grid, method="direct"))
     fast = np.asarray(S.rcps_loss_table(params, labels, lam_grid, method="fast"))
-    # identical up to float boundary ties on λ·slope == residual
-    num_px = np.prod(SHAPE[1:])
-    assert np.max(np.abs(direct - fast)) <= 1.0 / num_px + 1e-7
-    assert np.mean(direct != fast) < 0.01
+    # miss *counts* must agree up to float boundary ties on λ·slope == residual
+    # (the two paths round the mean differently: jnp.mean vs count/P)
+    num_px = int(np.prod(SHAPE[1:]))
+    direct_counts = np.round(direct * num_px)
+    fast_counts = np.round(fast * num_px)
+    assert np.max(np.abs(direct_counts - fast_counts)) <= 1
+    assert np.mean(direct_counts != fast_counts) < 0.01
 
 
 def test_monotonicity_of_loss_table():
