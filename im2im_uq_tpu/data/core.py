@@ -116,20 +116,42 @@ def iterate_batches(
     emit the ragged tail instead. Batches are fetched ``prefetch`` ahead on
     a background thread so host IO overlaps device compute.
     """
-    n = len(dataset)
-    order = np.arange(n)
-    if shuffle:
-        (rng or np.random).shuffle(order)
+    map_style = hasattr(dataset, "__len__") and hasattr(dataset, "__getitem__")
+    if map_style:
+        n = len(dataset)
+        order = np.arange(n)
+        if shuffle:
+            (rng or np.random).shuffle(order)
+    else:
+        # iterable dataset (e.g. TEMCA's buffered patch stream): rewind if
+        # resettable (the reference calls dataset.reset() before sweeps,
+        # eval.py:87-90) and chunk the stream; shuffling is the stream's job.
+        if hasattr(dataset, "reset"):
+            dataset.reset()
 
     pool = _futures.ThreadPoolExecutor(num_threads) if num_threads > 0 else None
     q: Queue = Queue(maxsize=max(prefetch, 1))
     _SENTINEL = object()
 
-    def producer():
-        try:
+    def _chunks():
+        if map_style:
             for start in range(0, n, batch_size):
                 idx = order[start : start + batch_size]
-                x, y = stack_examples(_fetch(dataset, idx, pool))
+                yield _fetch(dataset, idx, pool)
+        else:
+            chunk = []
+            for example in dataset:
+                chunk.append(example)
+                if len(chunk) == batch_size:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
+
+    def producer():
+        try:
+            for examples in _chunks():
+                x, y = stack_examples(examples)
                 mask = np.ones((x.shape[0],), dtype=np.float32)
                 if pad_final and x.shape[0] < batch_size:
                     pad = batch_size - x.shape[0]
