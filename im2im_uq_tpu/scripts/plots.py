@@ -1,0 +1,313 @@
+"""Plotting / reporting: paper-figure generation from router artifacts.
+
+Counterpart of the reference per-experiment plot scripts (reference:
+experiments/fastmri_test/plot.py:22-230, temca_test/plot.py,
+bsbcm_test/plot.py), factored into one generic module: the per-experiment
+files just pick method names, artifact filenames, and rescaling constants.
+
+Inputs are the router's results pickles and loss tables. Ours are plain
+numpy pickles; reference torch-pickled artifacts are also loadable when
+torch is importable (the CPU_Unpickler path, reference plot.py:22-27), so
+figures can be regenerated from either framework's runs.
+
+Figures (same set as the reference): risk violins over random re-splits,
+MSE strip, Spearman strip, interval-size violins, size-stratified risk
+bars, per-image UQ panels with the coolwarm size overlay, and spatial
+miscoverage heatmaps.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle as pkl
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "load_results",
+    "load_loss_table",
+    "compute_risks",
+    "plot_risks",
+    "plot_mse",
+    "plot_spearman",
+    "plot_size_violins",
+    "plot_ssr",
+    "plot_images_uq",
+    "plot_spatial_miscoverage",
+    "generate_plots",
+]
+
+
+def _to_numpy(x):
+    if hasattr(x, "detach"):  # torch tensor
+        return x.detach().cpu().numpy()
+    if isinstance(x, (list, tuple)):
+        return [_to_numpy(v) for v in x]
+    return np.asarray(x) if not isinstance(x, (int, float, str, dict)) else x
+
+
+class _TorchCPUUnpickler(pkl.Unpickler):
+    """Load torch-GPU pickles onto CPU (reference plot.py:22-27)."""
+
+    def find_class(self, module, name):
+        if module == "torch.storage" and name == "_load_from_bytes":
+            import torch
+
+            return lambda b: torch.load(io.BytesIO(b), map_location="cpu")
+        return super().find_class(module, name)
+
+
+def load_results(filename: str) -> dict:
+    with open(filename, "rb") as fh:
+        try:
+            result = pkl.load(fh)
+        except Exception:
+            fh.seek(0)
+            result = _TorchCPUUnpickler(fh).load()
+    return {k: _to_numpy(v) for k, v in result.items()}
+
+
+def load_loss_table(filename: str) -> np.ndarray:
+    with open(filename, "rb") as fh:
+        try:
+            table = pkl.load(fh)
+        except Exception:
+            import torch
+
+            table = torch.load(filename, map_location="cpu")
+    return np.asarray(_to_numpy(table))
+
+
+def _normalize_01(x: np.ndarray) -> np.ndarray:
+    x = x - x.min()
+    mx = x.max()
+    return x / mx if mx > 0 else x
+
+
+def _setup(figsize, font_scale=1.2):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    plt.figure(figsize=figsize)
+    sns.set(font_scale=font_scale)
+    sns.set_style("white")
+    sns.set_palette("pastel")
+    return plt, sns
+
+
+def compute_risks(
+    loss_table: np.ndarray,
+    n: int,
+    alpha: float,
+    delta: float,
+    num_trials: int = 100,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """Risk per random calib/val re-split trial (reference plot.py:126-139)."""
+    from im2im_uq_tpu.calibration.rcps import evaluate_from_loss_table
+
+    rng = rng or np.random
+    return np.array(
+        [evaluate_from_loss_table(loss_table, n, alpha, delta, rng) for _ in range(num_trials)]
+    )
+
+
+def plot_risks(
+    methodnames, loss_tables, n, alpha, delta, outdir, prefix, num_trials=100
+):
+    cache = os.path.join(outdir, "raw", "risks.pth")
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            risks_list = pkl.load(fh)
+    else:
+        risks_list = [compute_risks(t, n, alpha, delta, num_trials) for t in loss_tables]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "wb") as fh:
+            pkl.dump(risks_list, fh)
+    plt, sns = _setup((5, 5))
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "Method": [m.replace(" ", "\n") for m in methodnames for _ in range(num_trials)],
+            "Risk": np.concatenate(risks_list).tolist(),
+        }
+    )
+    sns.violinplot(data=df, x="Method", y="Risk")
+    plt.gca().axhline(y=alpha, color="#888888", linewidth=2, linestyle="dashed")
+    sns.despine(top=True, right=True)
+    plt.xlabel("")
+    plt.tight_layout()
+    plt.savefig(os.path.join(outdir, f"{prefix}-risks.pdf"), bbox_inches="tight")
+    plt.close("all")
+
+
+def plot_mse(methodnames, results_list, outdir, prefix):
+    plt, sns = _setup((12, 1.75))
+    for j, m in enumerate(methodnames):
+        plt.scatter(
+            x=[results_list[j]["mse"]],
+            y=[np.random.uniform() / 4],
+            s=70,
+            label=m,
+        )
+    sns.despine(top=True, bottom=True, right=True, left=True)
+    plt.gca().set_yticks([])
+    plt.ylim([-0.1, 1])
+    plt.legend(bbox_to_anchor=(-0.5, 0.5))
+    plt.xlabel("Mean-squared error of prediction")
+    plt.tight_layout()
+    plt.savefig(os.path.join(outdir, f"{prefix}-mse.pdf"), bbox_inches="tight")
+    plt.close("all")
+
+
+def plot_spearman(methodnames, results_list, outdir, prefix):
+    plt, sns = _setup((12, 1.75))
+    for j, m in enumerate(methodnames):
+        plt.scatter(x=[results_list[j]["spearman"]], y=[0], s=70, label=m)
+    sns.despine(top=True, bottom=True, right=True, left=True)
+    plt.gca().set_yticks([])
+    plt.ylim([-0.1, 1])
+    plt.legend(bbox_to_anchor=(-0.5, 0.5))
+    plt.xlabel("Spearman rank correlation between heuristic and true residual")
+    plt.tight_layout()
+    plt.savefig(os.path.join(outdir, f"{prefix}-spearman.pdf"), bbox_inches="tight")
+    plt.close("all")
+
+
+def plot_size_violins(methodnames, results_list, outdir, prefix):
+    plt, sns = _setup((5, 5))
+    import pandas as pd
+
+    sizes_all, labels = [], []
+    for m, results in zip(methodnames, results_list):
+        sizes = np.clip(np.asarray(results["sizes"]), 0, 2)
+        sizes = sizes + (np.random.rand(*sizes.shape) - 0.5) * 0.01
+        sizes_all.append(sizes)
+        labels += [m.replace(" ", "\n")] * sizes.shape[0]
+    df = pd.DataFrame(
+        {"Interval Length": np.concatenate(sizes_all).tolist(), "Method": labels}
+    )
+    sns.violinplot(data=df, x="Method", y="Interval Length", cut=0)
+    sns.despine(top=True, right=True)
+    plt.xlabel("")
+    plt.tight_layout()
+    plt.savefig(os.path.join(outdir, f"{prefix}-sizes.pdf"), bbox_inches="tight")
+    plt.close("all")
+
+
+def plot_ssr(methodnames, results_list, alpha, outdir, prefix):
+    plt, sns = _setup((4, 4))
+    import pandas as pd
+
+    buckets = ["Short", "Short-Medium", "Medium-Long", "Long"]
+    df = pd.DataFrame(
+        {
+            "Interval Length": buckets * len(results_list),
+            "Size-Stratified Risk": np.concatenate(
+                [np.asarray(r["size-stratified risk"]) for r in results_list]
+            ).tolist(),
+            "Method": [m.replace(" ", "\n") for m in methodnames for _ in buckets],
+        }
+    )
+    sns.catplot(
+        data=df,
+        kind="bar",
+        x="Method",
+        y="Size-Stratified Risk",
+        hue="Interval Length",
+        legend=False,
+    )
+    sns.despine(top=True, right=True)
+    plt.legend(loc="upper right")
+    plt.xlabel("")
+    plt.tight_layout()
+    plt.savefig(
+        os.path.join(outdir, f"{prefix}-size-stratified-risk.pdf"), bbox_inches="tight"
+    )
+    plt.close("all")
+
+
+def plot_images_uq(results: dict, outdir: str):
+    """Per-image panels: input/prediction/set-sizes/gt + coolwarm UQ overlay
+    (reference plot.py:157-176)."""
+    from matplotlib import cm
+    from PIL import Image
+
+    uq_cmap = cm.get_cmap("coolwarm", 50)
+    for i in range(len(results["predictions"])):
+        folder = os.path.join(outdir, "images", str(i))
+        os.makedirs(folder, exist_ok=True)
+        inp = _normalize_01(np.asarray(results["inputs"][i]).squeeze())
+        pred = _normalize_01(np.asarray(results["predictions"][i]).squeeze())
+        sizes = (
+            np.asarray(results["upper_edge"][i]) - np.asarray(results["lower_edge"][i])
+        ).squeeze()
+        mixed = 0.3 * uq_cmap(_normalize_01(sizes)) + 0.7 * pred[..., None]
+
+        def _save(arr, name):
+            Image.fromarray((255 * arr).astype("uint8")).convert("RGB").save(
+                os.path.join(folder, name)
+            )
+
+        _save(inp, "input.png")
+        _save(pred, "prediction.png")
+        _save(_normalize_01(sizes), "set_sizes.png")
+        _save(_normalize_01(np.asarray(results["gt"][i]).squeeze()), "gt.png")
+        _save(mixed, "mixed_output.png")
+
+
+def plot_spatial_miscoverage(methodnames, results_list, outdir, prefix):
+    from matplotlib import cm
+    from PIL import Image
+
+    uq_cmap = cm.get_cmap("coolwarm", 50)
+    folder = os.path.join(outdir, "spatial_miscoverage")
+    os.makedirs(folder, exist_ok=True)
+    for m, results in zip(methodnames, results_list):
+        sm = np.asarray(results["spatial_miscoverage"])
+        img = (255 * uq_cmap(sm)).astype("uint8")
+        Image.fromarray(img).convert("RGB").save(
+            os.path.join(folder, f"{prefix}_spatial_miscoverage_{m}.png")
+        )
+
+
+def generate_plots(
+    methodnames: Sequence[str],
+    results_filenames: Sequence[str],
+    loss_tables_filenames: Sequence[str],
+    alpha: float = 0.1,
+    delta: float = 0.1,
+    outdir: str = "outputs",
+    prefix: str = "experiment",
+    rescale: Optional[dict] = None,
+    num_trials: int = 100,
+) -> None:
+    """All figures for one experiment (reference plot.py:192-230).
+
+    ``rescale`` optionally maps {'std': s, 'max': m} to rescale mse/sizes of
+    'standard_standard' runs (reference plot.py:200-208).
+    """
+    results_list = []
+    for fn in results_filenames:
+        result = load_results(fn)
+        if rescale and "standard_standard" in fn:
+            result["mse"] = result["mse"] * rescale["std"] / rescale["max"]
+            result["sizes"] = np.asarray(result["sizes"]) * rescale["std"] / rescale["max"]
+        results_list.append(result)
+    loss_tables = [load_loss_table(fn) for fn in loss_tables_filenames]
+    n = loss_tables[0].shape[0] // 2
+
+    os.makedirs(outdir, exist_ok=True)
+    plot_spatial_miscoverage(methodnames, results_list, outdir, prefix)
+    plot_mse(methodnames, results_list, outdir, prefix)
+    plot_risks(methodnames, loss_tables, n, alpha, delta, outdir, prefix, num_trials)
+    plot_spearman(methodnames, results_list, outdir, prefix)
+    plot_ssr(methodnames, results_list, alpha, outdir, prefix)
+    plot_size_violins(methodnames, results_list, outdir, prefix)
+    plot_images_uq(results_list[-1], outdir)
