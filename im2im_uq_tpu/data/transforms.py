@@ -25,6 +25,8 @@ __all__ = [
     "center_crop_to_smallest",
     "normalize",
     "normalize_instance",
+    "mask_center",
+    "VarNetDataTransform",
     "ifft2c_np",
     "fft2c_np",
     "complex_abs_np",
@@ -126,6 +128,60 @@ def normalize_instance(data: np.ndarray, eps=0.0):
     """Instance-normalize by the array's own mean/std (transforms.py:204-222)."""
     mean, std = data.mean(), data.std()
     return normalize(data, mean, std, eps), mean, std
+
+
+def mask_center(x: np.ndarray, mask_from: int, mask_to: int) -> np.ndarray:
+    """Zero everything but the center columns (transforms.py:88-102)."""
+    out = np.zeros_like(x)
+    out[..., mask_from:mask_to, :] = x[..., mask_from:mask_to, :]
+    return out
+
+
+class VarNetDataTransform:
+    """k-space-domain transform for VarNet-style models (transforms.py:331-414).
+
+    Returns (masked_kspace, byte mask, target, fname, slice_num, max_value,
+    crop_size); the acquisition padding (attrs padding_left/right) zeroes the
+    unacquired columns. Unused by the main pipeline, kept for surface parity.
+    """
+
+    def __init__(self, mask_func: Optional[MaskFunc] = None, use_seed: bool = True):
+        self.mask_func = mask_func
+        self.use_seed = use_seed
+
+    def __call__(self, kspace, mask, target, attrs, fname, slice_num):
+        if target is not None:
+            target = to_real_pair(np.asarray(target))
+            max_value = attrs["max"]
+        else:
+            target = np.zeros(())
+            max_value = 0.0
+        kspace = to_real_pair(np.asarray(kspace))
+        seed = tuple(map(ord, fname)) if self.use_seed else None
+        acq_start, acq_end = attrs["padding_left"], attrs["padding_right"]
+        crop_size = np.array([attrs["recon_size"][0], attrs["recon_size"][1]])
+
+        if self.mask_func:
+            masked_kspace, mask = apply_mask(
+                kspace, self.mask_func, seed, (acq_start, acq_end)
+            )
+        else:
+            masked_kspace = kspace
+            num_cols = kspace.shape[-2]
+            mask_shape = [1] * kspace.ndim
+            mask_shape[-2] = num_cols
+            mask = np.asarray(mask).reshape(*mask_shape).astype(np.float32)
+            mask[..., :acq_start, :] = 0
+            mask[..., acq_end:, :] = 0
+        return (
+            masked_kspace,
+            mask.astype(np.uint8),
+            target,
+            fname,
+            slice_num,
+            max_value,
+            crop_size,
+        )
 
 
 class UnetDataTransform:

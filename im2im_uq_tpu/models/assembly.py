@@ -90,8 +90,26 @@ class UQState:
         return dataclasses.replace(self, **kw)
 
 
+def resolve_dtype(params: dict, dtype: Any = None) -> Any:
+    """Compute dtype from config: ``compute_dtype`` ∈ {float32, bfloat16}.
+
+    bfloat16 runs the convs on the MXU's native precision (params and
+    BatchNorm statistics stay float32); float32 (default) matches the
+    reference numerics.
+    """
+    if dtype is not None:
+        return dtype
+    name = params.get("compute_dtype")
+    if name in (None, "float32", "f32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r}")
+
+
 def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     """Trunk factory for the router's model dispatch (reference router.py:80-84)."""
+    dtype = resolve_dtype(params, dtype)
     name = params.get("model", "UNet")
     if name == "UNet":
         return UNet(n_channels_out=1, dtype=dtype)
@@ -118,7 +136,7 @@ def add_uncertainty(
         params["uncertainty_type"],
         getattr(trunk, "n_channels_out", 1),
         params,
-        dtype,
+        resolve_dtype(params, dtype),
     )
     model = UQModel(trunk=trunk, head=head)
     variables = {}

@@ -148,6 +148,30 @@ class Up(nn.Module):
         )
 
 
+class UpNoSkip(nn.Module):
+    """Upsample + DoubleConv without a skip connection.
+
+    Counterpart of the reference's unused Up_custom (unet_parts.py:71-84),
+    kept for surface parity; supports arbitrary scale factors.
+    """
+
+    features: int
+    scale_factor: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from im2im_uq_tpu.ops.resize import resize_bilinear_align_corners
+
+        _, h, w, c = x.shape
+        x = resize_bilinear_align_corners(
+            x, (h * self.scale_factor, w * self.scale_factor)
+        )
+        return DoubleConv(
+            self.features, mid_features=c // 2, dtype=self.dtype, name="conv"
+        )(x, train)
+
+
 class UNet(nn.Module):
     """Classic 4-down/4-up UNet trunk emitting 32 feature channels.
 
