@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from im2im_uq_tpu.calibration.bounds import HB_mu_plus
+from im2im_uq_tpu.calibration.bounds import HB_mu_plus, WSR_mu_plus
 from im2im_uq_tpu.data.core import iterate_batches
 from im2im_uq_tpu.models.assembly import UQState
 from im2im_uq_tpu.ops import sets as set_ops
@@ -60,6 +60,16 @@ def rcps_loss_fn_name(config: dict) -> str:
     if name != "fraction_missed":
         raise NotImplementedError(f"unknown rcps loss {name!r}")
     return name
+
+
+def default_table_method(config: Optional[dict] = None) -> str:
+    """Loss-table backend: config override, else the Pallas kernel on TPU
+    (7.5x the XLA scan, ~150x faster compile), XLA 'direct' elsewhere."""
+    if config and config.get("loss_table_method"):
+        return config["loss_table_method"]
+    import jax
+
+    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "direct"
 
 
 def _make_table_step(uq_state: UQState, lam_values: np.ndarray, mesh, method: str):
@@ -109,13 +119,14 @@ def calibrate_model(
     config: dict,
     mesh=None,
     batch_size: Optional[int] = None,
-    method: str = "direct",
+    method: Optional[str] = None,
 ) -> tuple[UQState, np.ndarray]:
     """RCPS calibration: λ̂ selection + calibration loss table.
 
     Returns (calibrated UQState, (N, num_lambdas) table). See module
     docstring for the preserved reference semantics.
     """
+    method = method or default_table_method(config)
     alpha, delta = config["alpha"], config["delta"]
     lambdas = lambda_grid(config)
     rcps_loss_fn_name(config)
@@ -130,10 +141,21 @@ def calibrate_model(
     )
     n = table.shape[0]
 
+    # UCB choice: 'hb' (the reference's only used bound) or 'wsr' — the
+    # reference implements WSR but never wires it in (bounds.py:31-42).
+    bound = config.get("bound", "hb")
+
+    def ucb(j: int, rhat: float) -> float:
+        if bound == "wsr":
+            return WSR_mu_plus(table[:, j], delta)
+        if bound == "hb":
+            return HB_mu_plus(rhat, n, delta)
+        raise NotImplementedError(f"unknown bound {bound!r}")
+
     stop_j = None
     for j in range(len(lambdas) - 1, -1, -1):
         rhat = float(table[:, j].mean())
-        rhat_plus = HB_mu_plus(rhat, n, delta)
+        rhat_plus = ucb(j, rhat)
         if rhat >= alpha or rhat_plus > alpha:
             uq_state = uq_state.set_lhat(float(lambdas[j]))
             stop_j = j

@@ -263,4 +263,8 @@ def rcps_loss_table(
         return _loss_table_direct(params, labels, lam_grid)
     if method == "fast":
         return _loss_table_fast(params, labels, lam_grid)
+    if method == "pallas":
+        from im2im_uq_tpu.ops.pallas_kernels import loss_table_pallas
+
+        return loss_table_pallas(params, labels, lam_grid)
     raise ValueError(f"unknown loss-table method {method!r}")

@@ -32,20 +32,22 @@ def default_lambda(uq_state: UQState, config: dict) -> float:
 
 
 def get_loss_table(
-    uq_state: UQState, dataset, config: dict, mesh=None, method: str = "direct"
+    uq_state: UQState, dataset, config: dict, mesh=None, method: Optional[str] = None
 ) -> np.ndarray:
     """(N, num_lambdas) fraction-missed table at the *unshifted* λ grid.
 
     The validation table is evaluated at λ itself, unlike calibration's
     λ − dλ offset (reference eval.py:107-124 vs calibrate_model.py:135).
     """
+    from im2im_uq_tpu.calibration.rcps import default_table_method
+
     return compute_loss_table(
         uq_state,
         dataset,
         lambda_grid(config),
         batch_size=config.get("batch_size", 64),
         mesh=mesh,
-        method=method,
+        method=method or default_table_method(config),
     )
 
 
