@@ -115,6 +115,10 @@ def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
         return UNet(n_channels_out=1, dtype=dtype)
     if name == "WNet":
         return WNet(n_channels_out=1, dtype=dtype)
+    if name == "ResNet18":
+        from im2im_uq_tpu.models.resnet import ResNet18
+
+        return ResNet18(n_channels_out=1, dtype=dtype)
     raise NotImplementedError(f"unknown trunk {name!r}")
 
 

@@ -85,6 +85,10 @@ def build_dataset(config: dict):
             num_channels_in=config.get("num_inputs", 1),
             seed=config.get("seed", 0),
         )
+    if name == "CIFAR10":
+        from im2im_uq_tpu.data.cifar10 import CIFAR10Dataset
+
+        return CIFAR10Dataset(path, seed=config.get("seed", 0))
     if name == "fastmri":
         from im2im_uq_tpu.data.fastmri import FastMRIDataset
 

@@ -1,0 +1,89 @@
+"""Model-layer shape/contract tests: trunks, heads, init statistics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk, resolve_dtype
+from im2im_uq_tpu.models.resnet import ResNet18
+from im2im_uq_tpu.models.unet import UNet, UpNoSkip, WNet, conv_kernel_init
+from im2im_uq_tpu.ops.resize import resize_bilinear_align_corners
+
+
+def test_unet_feature_contract():
+    m = UNet()
+    v = jax.jit(lambda r, x: m.init(r, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 1))
+    )
+    y = m.apply(v, jnp.zeros((2, 32, 32, 1)), train=False)
+    assert y.shape == (2, 32, 32, 32)  # n_channels_middle = 32
+    assert m.n_channels_middle == 32
+
+
+def test_resnet18_feature_contract():
+    m = ResNet18()
+    v = jax.jit(lambda r, x: m.init(r, x, train=False))(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )
+    y = m.apply(v, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert y.shape == (2, 32, 32, 32)
+
+
+def test_build_trunk_dispatch():
+    assert isinstance(build_trunk({"model": "UNet"}), UNet)
+    assert isinstance(build_trunk({"model": "WNet"}), WNet)
+    assert isinstance(build_trunk({"model": "ResNet18"}), ResNet18)
+    with pytest.raises(NotImplementedError):
+        build_trunk({"model": "VGG"})
+
+
+def test_resolve_dtype():
+    assert resolve_dtype({}) is None
+    assert resolve_dtype({"compute_dtype": "bfloat16"}) == jnp.bfloat16
+    with pytest.raises(ValueError):
+        resolve_dtype({"compute_dtype": "fp8"})
+
+
+def test_bf16_trunk_outputs_f32():
+    cfg = {"model": "UNet", "uncertainty_type": "gaussian", "compute_dtype": "bfloat16"}
+    st = add_uncertainty(
+        build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=jnp.zeros((1, 32, 32, 1))
+    )
+    out = st.apply(jnp.zeros((1, 32, 32, 1)))
+    assert out.dtype == jnp.float32  # heads return f32 regardless of compute dtype
+    # params stay f32
+    k = st.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]
+    assert k.dtype == jnp.float32
+
+
+def test_upnoskip_shapes():
+    m = UpNoSkip(features=8, scale_factor=4)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 16)), False)
+    y = m.apply(v, jnp.zeros((1, 8, 8, 16)), False)
+    assert y.shape == (1, 32, 32, 8)
+
+
+def test_conv_init_matches_torch_distribution():
+    # torch Conv2d default: U(±1/sqrt(fan_in)); check bounds + rough uniformity
+    key = jax.random.key(0)
+    k = conv_kernel_init(key, (3, 3, 16, 32))
+    bound = 1.0 / np.sqrt(3 * 3 * 16)
+    vals = np.asarray(k).ravel()
+    assert vals.min() >= -bound and vals.max() <= bound
+    assert abs(vals.mean()) < bound / 10
+    assert np.std(vals) == pytest.approx(2 * bound / np.sqrt(12), rel=0.1)
+
+
+def test_bilinear_align_corners_matches_torch():
+    import torch
+
+    x = np.random.RandomState(0).rand(2, 9, 7, 3).astype(np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (18, 14)))
+    exp = (
+        torch.nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)(
+            torch.tensor(np.moveaxis(x, -1, 1))
+        )
+        .numpy()
+    )
+    np.testing.assert_allclose(np.moveaxis(got, -1, 1), exp, rtol=1e-5, atol=1e-6)
