@@ -1,0 +1,140 @@
+"""End-to-end RCPS calibration parity against the reference implementation.
+
+Feeds IDENTICAL precomputed head outputs + labels through (a) the reference's
+torch calibration machinery (ModelWithUncertainty.nested_sets_from_output +
+fraction_missed_loss + HB_mu_plus + the descending-λ stopping rule, imported
+from /root/reference) and (b) this framework's on-device loss table + λ̂
+walk — and requires the same loss tables and the same λ̂. This is the
+"risk@α within 1e-3" guarantee, verified at machine precision.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+if not os.path.exists("/root/reference/core"):
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+
+import torch  # noqa: E402
+from core.calibration.bounds import HB_mu_plus as ref_HB  # noqa: E402
+from core.calibration.calibrate_model import (  # noqa: E402
+    fraction_missed_loss as ref_fraction_missed,
+)
+from core.models.add_uncertainty import ModelWithUncertainty  # noqa: E402
+from core.models.finallayers.quantile_layer import (  # noqa: E402
+    quantile_regression_nested_sets_from_output,
+)
+
+import jax.numpy as jnp  # noqa: E402
+
+from im2im_uq_tpu.calibration.bounds import HB_mu_plus  # noqa: E402
+from im2im_uq_tpu.ops import sets as S  # noqa: E402
+
+ALPHA, DELTA = 0.25, 0.2
+
+
+def _reference_calibrate(outputs_torch, labels_torch, lambdas):
+    """Replay the reference calibration loop on precomputed outputs
+    (calibrate_model.py:128-145) using the reference's own functions."""
+    model = ModelWithUncertainty(
+        torch.nn.Identity(),
+        torch.nn.Identity(),
+        None,
+        quantile_regression_nested_sets_from_output,
+        {},
+    )
+    dlambda = lambdas[1] - lambdas[0]
+    lhat = lambdas[-1] + dlambda - 1e-9
+    n = outputs_torch.shape[0]
+    table = torch.zeros((n, len(lambdas)))
+    for j in range(len(lambdas) - 1, -1, -1):
+        lam = lambdas[j]
+        sets = model.nested_sets_from_output(outputs_torch.clone(), lam - dlambda)
+        losses = ref_fraction_missed(sets, labels_torch)
+        table[:, j] = losses
+        rhat = losses.mean().item()
+        rhat_plus = ref_HB(rhat, n, DELTA)
+        if rhat >= ALPHA or rhat_plus > ALPHA:
+            lhat = float(lam)
+            break
+    if j > 0 and lhat != lambdas[-1] + dlambda - 1e-9:
+        table[:, :j] = 0.0
+    return lhat, table.numpy()
+
+
+def test_calibration_matches_reference_end_to_end():
+    rng = np.random.RandomState(0)
+    n, h, w = 24, 16, 16
+    # coherent quantile-head outputs: lower <= pred <= upper mostly, with
+    # some inversions to exercise the clamps
+    pred = rng.randn(n, h, w).astype(np.float32)
+    lo = pred - np.abs(rng.randn(n, h, w)).astype(np.float32) * 0.5
+    hi = pred + np.abs(rng.randn(n, h, w)).astype(np.float32) * 0.5
+    lo[:3] = pred[:3] + 0.1  # inverted
+    labels = (pred + rng.randn(n, h, w).astype(np.float32) * 0.6).astype(np.float32)
+    lambdas = np.linspace(0.0, 4.0, 120)
+
+    # reference: (N, 3, C=1, H, W) torch layout
+    outputs_torch = torch.tensor(np.stack([lo, pred, hi], axis=1)[:, :, None])
+    labels_torch = torch.tensor(labels[:, None])
+    ref_lhat, ref_table = _reference_calibrate(outputs_torch, labels_torch, lambdas)
+
+    # ours: (N, 3, H, W, C) jnp layout + the rcps engine's math
+    outputs_jnp = jnp.asarray(np.stack([lo, pred, hi], axis=1)[..., None])
+    labels_jnp = jnp.asarray(labels[..., None])
+    params = S.interval_params(outputs_jnp, "quantiles")
+    table = np.asarray(
+        S.rcps_loss_table(params, labels_jnp, lambdas - (lambdas[1] - lambdas[0]))
+    )
+    our_lhat = float(lambdas[-1] + (lambdas[1] - lambdas[0]) - 1e-9)
+    stop_j = None
+    for j in range(len(lambdas) - 1, -1, -1):
+        rhat = float(table[:, j].mean())
+        if rhat >= ALPHA or HB_mu_plus(rhat, n, DELTA) > ALPHA:
+            our_lhat = float(lambdas[j])
+            stop_j = j
+            break
+    our_table = table.copy()
+    if stop_j is not None and stop_j > 0:
+        our_table[:, :stop_j] = 0.0
+
+    assert our_lhat == pytest.approx(ref_lhat, abs=1e-7)
+    np.testing.assert_allclose(our_table, ref_table, rtol=1e-5, atol=1e-7)
+
+    # risk at λ̂ matches within the 1e-3 north-star target (BASELINE.md)
+    j = int(np.argmin(np.abs(lambdas - our_lhat)))
+    assert abs(our_table[:, j].mean() - ref_table[:, j].mean()) < 1e-3
+
+
+def test_rcps_guarantee_holds_empirically():
+    """RCPS must control risk: over resamples, P(val risk > α) ≲ δ."""
+    rng = np.random.RandomState(1)
+    n, h, w = 60, 8, 8
+    violations = 0
+    trials = 30
+    lambdas = np.linspace(0.0, 5.0, 80)
+    dlam = lambdas[1] - lambdas[0]
+    for _ in range(trials):
+        pred = rng.randn(n, h, w, 1).astype(np.float32)
+        spread = np.abs(rng.randn(n, h, w, 1)).astype(np.float32)
+        labels = pred + rng.randn(n, h, w, 1).astype(np.float32)
+        params = S.IntervalParams(jnp.asarray(pred), jnp.asarray(spread), jnp.asarray(spread))
+        half = n // 2
+        table = np.asarray(
+            S.rcps_loss_table(params, jnp.asarray(labels), lambdas - dlam)
+        )
+        lhat = lambdas[-1] + dlam - 1e-9
+        for j in range(len(lambdas) - 1, -1, -1):
+            rhat = float(table[:half, j].mean())
+            if rhat >= 0.3 or HB_mu_plus(rhat, half, 0.2) > 0.3:
+                lhat = float(lambdas[j])
+                break
+        jj = int(np.argmin(np.abs(lambdas - min(lhat, lambdas[-1]))))
+        val_risk = table[half:, jj].mean()
+        if val_risk > 0.3:
+            violations += 1
+    # δ = 0.2 → expect ≤ ~6/30 violations; allow slack for test stability
+    assert violations <= 10
