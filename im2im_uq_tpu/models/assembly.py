@@ -112,7 +112,7 @@ def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     dtype = resolve_dtype(params, dtype)
     name = params.get("model", "UNet")
     if name == "UNet":
-        return UNet(n_channels_out=1, dtype=dtype)
+        return UNet(n_channels_out=1, dtype=dtype, remat=bool(params.get("remat", False)))
     if name == "WNet":
         return WNet(n_channels_out=1, dtype=dtype)
     if name == "ResNet18":

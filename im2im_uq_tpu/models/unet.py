@@ -185,20 +185,32 @@ class UNet(nn.Module):
     bilinear: bool = True
     dtype: Any = None
     n_channels_middle: int = 32
+    remat: bool = False  # rematerialize each block's activations in backward
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(64, dtype=self.dtype, name="inc")(x, train)
-        x2 = Down(128, dtype=self.dtype, name="down1")(x1, train)
-        x3 = Down(256, dtype=self.dtype, name="down2")(x2, train)
-        x4 = Down(512, dtype=self.dtype, name="down3")(x3, train)
-        x5 = Down(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
+        # jax.checkpoint per block trades ~1 extra forward of FLOPs for not
+        # storing full-res intermediate activations — lets batch size grow
+        # past HBM on large tiles.
+        # the `train` flag must stay a static (python) bool through remat;
+        # its positional index depends on the block's arity (Up takes two maps)
+        if self.remat:
+            DC = nn.remat(DoubleConv, static_argnums=(2,))
+            Dn = nn.remat(Down, static_argnums=(2,))
+            UpB = nn.remat(Up, static_argnums=(3,))
+        else:
+            DC, Dn, UpB = DoubleConv, Down, Up
+        x1 = DC(64, dtype=self.dtype, name="inc")(x, train)
+        x2 = Dn(128, dtype=self.dtype, name="down1")(x1, train)
+        x3 = Dn(256, dtype=self.dtype, name="down2")(x2, train)
+        x4 = Dn(512, dtype=self.dtype, name="down3")(x3, train)
+        x5 = Dn(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
 
-        x = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x5, x4, train)
-        x = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(x, x3, train)
-        x = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, x2, train)
-        x = Up(64, self.bilinear, dtype=self.dtype, name="up4")(x, x1, train)
+        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x5, x4, train)
+        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(x, x3, train)
+        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, x2, train)
+        x = UpB(64, self.bilinear, dtype=self.dtype, name="up4")(x, x1, train)
         x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
         return x.astype(jnp.float32)
 

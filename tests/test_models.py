@@ -57,6 +57,34 @@ def test_bf16_trunk_outputs_f32():
     assert k.dtype == jnp.float32
 
 
+def test_remat_preserves_numerics():
+    import optax
+
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    cfg = {"model": "UNet", "uncertainty_type": "quantiles", "q_lo": 0.05,
+           "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0, "mse_weight": 1.0}
+    x = np.random.RandomState(0).randn(2, 32, 32, 1).astype(np.float32)
+    y = np.random.RandomState(1).randn(2, 32, 32, 1).astype(np.float32)
+    m = np.ones((2,), np.float32)
+    losses = {}
+    for remat in (False, True):
+        c = dict(cfg, remat=remat)
+        st = add_uncertainty(build_trunk(c), c, rng=jax.random.key(0),
+                             example_input=jnp.zeros((1, 32, 32, 1)))
+        tx = optax.adam(1e-3)
+        ts = TrainState(params=st.variables["params"],
+                        batch_stats=st.variables["batch_stats"],
+                        opt_state=tx.init(st.variables["params"]),
+                        step=jnp.zeros((), jnp.int32))
+        step = make_train_step(st.model, head_loss_pe_fn("quantiles"), c, tx)
+        ts, l1 = step(ts, x, y, m)
+        ts, l2 = step(ts, x, y, m)
+        losses[remat] = (float(l1), float(l2))
+    assert losses[False] == pytest.approx(losses[True], rel=1e-5)
+
+
 def test_upnoskip_shapes():
     m = UpNoSkip(features=8, scale_factor=4)
     v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 16)), False)

@@ -65,10 +65,11 @@ def test_multiseed_training_independent_replicas():
     small_state = add_uncertainty(
         build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=jnp.zeros((1, 32, 32, 1))
     )
-    # seed axis must divide the mesh; use a 4-device submesh for 4 seeds
-    mesh = data_parallel_mesh(4)
+    # seed axis must divide the mesh; 2 seeds on a 2-device submesh keeps the
+    # vmapped-UNet CPU compile affordable for CI
+    mesh = data_parallel_mesh(2)
     tx = optax.adam(1e-3)
-    seeds = [0, 1, 2, 3]
+    seeds = [0, 1]
     states = init_multiseed_states(
         small_state, seeds, tx, jnp.zeros((1, 32, 32, 1))
     )
@@ -81,7 +82,7 @@ def test_multiseed_training_independent_replicas():
     states, losses1 = step(states, x, y, mask)
     states, losses2 = step(states, x, y, mask)
     losses1, losses2 = np.asarray(losses1), np.asarray(losses2)
-    assert losses2.shape == (4,)
+    assert losses2.shape == (2,)
     # different seeds → different replicas → different losses
     assert len(np.unique(np.round(losses2, 8))) > 1
 
