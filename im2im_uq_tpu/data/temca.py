@@ -25,6 +25,18 @@ import numpy as np
 
 __all__ = ["TEMCADataset", "nearest_upsample"]
 
+_NORM_MODES = {"01": 0, "-11": 1, None: 2, "none": 2}
+
+
+def _native_patchops():
+    """The C++ patch-op module when built, else None (numpy fallback)."""
+    try:
+        from im2im_uq_tpu.native import get_patchops
+
+        return get_patchops()
+    except Exception:
+        return None
+
 
 def nearest_upsample(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor resize of a 2-D array to ``out_hw``.
@@ -79,6 +91,12 @@ class TEMCADataset:
 
     def _extract_patches(self, img: np.ndarray) -> None:
         ph, pw = self.output_size
+        po = _native_patchops()
+        if po is not None and img.dtype == np.uint8 and img.ndim == 2:
+            # native hot loop (same keep condition and (r, c) order)
+            patches = po.extract_patches(np.ascontiguousarray(img), ph, pw, 0.85)
+            self.patch_buffer.extend(list(patches))
+            return
         for r in range(img.shape[0] // ph):
             for c in range(img.shape[1] // pw):
                 patch = img[r * ph : (r + 1) * ph, c * pw : (c + 1) * pw]
@@ -101,11 +119,23 @@ class TEMCADataset:
         self.img_index = end
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        po = _native_patchops()
+        mode = _NORM_MODES.get(self.normalize, 2)
         while self.img_index != -1:
             if not self.patch_buffer:
                 self._fill_buffer()
             if self.patch_buffer:
-                gt = self.patch_buffer.pop().astype(np.float32)
+                patch = self.patch_buffer.pop()
+                if po is not None and patch.dtype == np.uint8:
+                    # fused native normalize + downsample/upsample pair
+                    yield po.make_pair(
+                        np.ascontiguousarray(patch),
+                        self.downsampling[0],
+                        self.downsampling[1],
+                        mode,
+                    )
+                    continue
+                gt = patch.astype(np.float32)
                 if self.normalize == "01":
                     gt = gt / 255.0
                 elif self.normalize == "-11":
