@@ -1,0 +1,127 @@
+"""Filename contracts, logging, misc utils, and loss-table evaluation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from im2im_uq_tpu.calibration.bounds import HB_mu_plus
+from im2im_uq_tpu.calibration.rcps import evaluate_from_loss_table, lambda_grid
+from im2im_uq_tpu.scripts.router import loss_table_filename, results_filename
+from im2im_uq_tpu.utils.logging import MetricsLogger, to_uint8_image
+from im2im_uq_tpu.utils.misc import cacheable, standard_to_minmax
+
+CONFIG = {
+    "output_dir": "/tmp/out",
+    "dataset": "fastmri",
+    "uncertainty_type": "quantiles",
+    "batch_size": 78,
+    "lr": 0.0001,
+    "input_normalization": "standard",
+    "output_normalization": "standard",
+}
+
+
+def test_artifact_filename_contracts():
+    # must match the reference naming so its plot scripts find artifacts
+    # (reference router.py:40,138)
+    assert results_filename(CONFIG) == (
+        "/tmp/out/results_fastmri_quantiles_78_0.0001_standard_standard.pkl"
+    )
+    assert loss_table_filename(CONFIG) == (
+        "/tmp/out/loss_table_fastmri_quantiles_78_0.0001_standard_standard.pth"
+    )
+    cfg = dict(CONFIG, output_normalization="min-max")
+    assert results_filename(cfg).endswith("_standard_min-max.pkl")
+
+
+def test_lambda_grid_softmax_switch():
+    cfg = {
+        "uncertainty_type": "quantiles",
+        "minimum_lambda": 0,
+        "maximum_lambda": 6,
+        "minimum_lambda_softmax": 0,
+        "maximum_lambda_softmax": 1.2,
+        "num_lambdas": 5,
+    }
+    np.testing.assert_allclose(lambda_grid(cfg), [0, 1.5, 3, 4.5, 6])
+    np.testing.assert_allclose(
+        lambda_grid(dict(cfg, uncertainty_type="softmax")), [0, 0.3, 0.6, 0.9, 1.2]
+    )
+
+
+def test_metrics_logger(tmp_path):
+    logger = MetricsLogger(str(tmp_path), use_wandb=False)
+    logger.log({"epoch": 1, "train_loss": 0.5, "vec": np.array([1.0, 2.0])})
+    logger.log({"epoch": 2, "train_loss": 0.25})
+    paths = logger.log_images("panel", [np.zeros((8, 8), np.uint8)], step=3)
+    logger.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["train_loss"] == 0.5 and lines[0]["vec"] == [1.0, 2.0]
+    assert lines[1]["epoch"] == 2
+    assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+def test_to_uint8_image_matches_reference_transform_output():
+    import torch
+
+    x = np.random.RandomState(0).randn(1, 16, 16).astype(np.float32)
+    got = to_uint8_image(x)
+    # reference transform_output (eval.py:14-22) oracle
+    t = torch.tensor(x)
+    t = t - t.min()
+    t = t / t.max()
+    expected = np.maximum(0, np.minimum(255 * t.squeeze().numpy(), 255)).astype(np.uint8)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_cacheable(tmp_path, monkeypatch):
+    calls = {"n": 0}
+
+    @cacheable
+    def slow_add(a, b):
+        calls["n"] += 1
+        return a + b
+
+    import im2im_uq_tpu.utils.misc as misc
+    import pathlib
+
+    monkeypatch.setattr(pathlib.Path, "absolute", lambda self: tmp_path)
+    assert slow_add(2, 3) == 5
+    assert slow_add(2, 3) == 5
+    assert calls["n"] == 1  # second call served from the pickle cache
+
+
+def test_standard_to_minmax_intended_semantics():
+    cfg = {
+        "output_mean": 2.0,
+        "output_std": 4.0,
+        "output_min": -6.0,
+        "output_max": 10.0,
+    }
+    x = np.array([0.0, 1.0])  # standard units
+    got = standard_to_minmax(x, cfg, output_bool=True)
+    # un-standardize: 0→2, 1→6; min-max: (v+6)/16
+    np.testing.assert_allclose(got, [(2 + 6) / 16, (6 + 6) / 16])
+
+
+def test_evaluate_from_loss_table_selects_first_accepted_lambda():
+    rng = np.random.RandomState(0)
+    n = 40
+    # monotone-decreasing risk columns over λ
+    base = np.sort(rng.rand(2 * n))[::-1]
+    table = np.tile(base, (2 * n, 1)) > rng.rand(2 * n, 1) * 1.3
+    table = table.astype(np.float64)
+    alpha = delta = 0.2
+    risk = evaluate_from_loss_table(table, n, alpha, delta, rng=np.random.RandomState(7))
+    # oracle replay with the same permutation
+    perm = np.random.RandomState(7).permutation(table.shape[0])
+    calib, val = table[perm][:n], table[perm][n:]
+    rhats = calib.mean(axis=0)
+    idx = 0
+    for j, r in enumerate(rhats):
+        if HB_mu_plus(float(r), n, delta) <= delta:
+            idx = j
+            break
+    assert risk == pytest.approx(float(val[:, idx].mean()))
