@@ -140,6 +140,9 @@ def main() -> None:
                     "calibration_seconds_n128_L1000": round(calib_seconds, 2),
                     "calibration_seconds_incl_compile": round(calib_cold, 2),
                     "lhat": state.lhat,
+                    "baseline_note": "vs_baseline compares one v5e chip against the "
+                    "reference implementation on this host's CPU (torch has no TPU "
+                    "path); see BENCH_BASELINE.json",
                 },
             }
         )

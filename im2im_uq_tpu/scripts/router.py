@@ -76,6 +76,8 @@ def build_dataset(config: dict):
     """
     name = config["dataset"]
     path = config.get("data_path")
+    if path:
+        path = os.path.expanduser(path)
     if name == "synthetic":
         from im2im_uq_tpu.data.synthetic import SyntheticDataset
 

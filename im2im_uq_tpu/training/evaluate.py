@@ -67,6 +67,15 @@ def get_images(
     (eval.py:70-76).
     """
     lam = default_lambda(uq_state, config) if lam is None else lam
+    if not hasattr(dataset, "__getitem__"):
+        # iterable datasets (TEMCA stream): materialize the first examples
+        # (reference eval.py:40-44 does the same via iter())
+        it = iter(dataset)
+        examples = [next(it) for _ in range(max(indices) + 1)]
+        if hasattr(dataset, "reset"):
+            dataset.reset()
+        dataset = examples
+    indices = [i for i in indices if i < len(dataset)]
     inputs, gts, lowers, preds, uppers = [], [], [], [], []
     for i in indices:
         x, y = dataset[i]
