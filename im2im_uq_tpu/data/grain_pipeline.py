@@ -1,0 +1,75 @@
+"""Optional grain-backed input pipeline.
+
+The default loader (data/core.py) is a threaded prefetcher — enough to feed
+one chip. This wraps any map-style dataset of this framework into a grain
+pipeline for the extras grain provides: checkpointable iterators (resume
+mid-epoch), deterministic global shuffles, worker processes, and per-host
+sharding composition for pods. The emitted batches are the same
+(x, y, mask) contract as ``iterate_batches`` (mask handles the padded final
+batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from im2im_uq_tpu.data.core import Batch
+
+__all__ = ["grain_batches", "make_grain_dataset"]
+
+
+def make_grain_dataset(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    num_epochs: int = 1,
+    shard_index: int = 0,
+    shard_count: int = 1,
+):
+    """A grain.MapDataset pipeline over a map-style (x, y) dataset."""
+    import grain.python as grain
+
+    ds = grain.MapDataset.source(dataset)
+    if shard_count > 1:
+        ds = ds[shard_index::shard_count]
+    if shuffle:
+        ds = ds.seed(seed).shuffle()
+    if num_epochs != 1:
+        ds = ds.repeat(num_epochs)
+    return ds.batch(batch_size, drop_remainder=False)
+
+
+def grain_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    shard_index: int = 0,
+    shard_count: int = 1,
+    pad_final: bool = True,
+    read_options: Optional[object] = None,
+) -> Iterator[Batch]:
+    """Yield (x, y, mask) batches through grain, padded to fixed shapes."""
+    ds = make_grain_dataset(
+        dataset,
+        batch_size,
+        shuffle=shuffle,
+        seed=seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
+    )
+    it = ds.to_iter_dataset(read_options=read_options) if read_options else ds
+    for xb, yb in it:
+        x, y = np.asarray(xb), np.asarray(yb)
+        mask = np.ones((x.shape[0],), np.float32)
+        if pad_final and x.shape[0] < batch_size:
+            pad = batch_size - x.shape[0]
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+        yield Batch((x, y, mask))
