@@ -12,6 +12,7 @@ so the whole train/calibrate/predict surface jits and shards cleanly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -36,6 +37,24 @@ class UQModel(nn.Module):
         return self.head(self.trunk(x, train=train))
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_forward(model: UQModel):
+    """Jitted eval-mode apply, cached per model structure (flax modules hash
+    by structure, so UQState.replace/set_lhat reuse the compiled program)."""
+    return jax.jit(lambda variables, x: model.apply(variables, x, train=False))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_nested_sets(model: UQModel, uncertainty_type: str):
+    """Jitted forward + set construction: (variables, x, λ) → (lo, pred, hi)."""
+
+    def fn(variables, x, lam):
+        out = model.apply(variables, x, train=False)
+        return set_ops.nested_sets_from_output(out, lam, uncertainty_type)
+
+    return jax.jit(fn)
+
+
 @dataclasses.dataclass(frozen=True)
 class UQState:
     """A UQModel plus its variables, config params, and calibrated λ̂.
@@ -55,6 +74,8 @@ class UQState:
         return self.params["uncertainty_type"]
 
     def apply(self, x: jax.Array, train: bool = False, mutable: Any = False):
+        if not train and mutable is False:
+            return _jitted_forward(self.model)(self.variables, x)
         return self.model.apply(self.variables, x, train=train, mutable=mutable)
 
     def forward(self, x: jax.Array) -> jax.Array:
@@ -81,7 +102,10 @@ class UQState:
         )
 
     def nested_sets(self, x: jax.Array, lam=None):
-        return self.nested_sets_from_output(self.forward(x), lam=lam)
+        lam = self._resolve_lam(lam)
+        return _jitted_nested_sets(self.model, self.uncertainty_type)(
+            self.variables, x, jnp.float32(lam)
+        )
 
     def set_lhat(self, lhat: float) -> "UQState":
         return dataclasses.replace(self, lhat=float(lhat))

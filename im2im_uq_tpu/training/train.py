@@ -107,13 +107,17 @@ def make_eval_loss_step(model, loss_pe_fn: Callable, hyper: dict, mesh=None):
     )
 
 
-def eval_net(uq_state: UQState, dataset, batch_size: int, mesh=None) -> float:
+def eval_net(
+    uq_state: UQState, dataset, batch_size: int, mesh=None, step=None
+) -> float:
     """Mean validation loss: sum(batch mean losses) / num examples.
 
     Same accounting as the reference eval_net (core/scripts/eval.py:159-186).
+    Pass a prebuilt ``step`` to reuse one compiled program across epochs.
     """
-    loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
-    step = make_eval_loss_step(uq_state.model, loss_pe, uq_state.params, mesh)
+    if step is None:
+        loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
+        step = make_eval_loss_step(uq_state.model, loss_pe, uq_state.params, mesh)
     total, count = 0.0, 0
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
         loss, n = step(uq_state.variables, x, y, mask)
@@ -175,6 +179,8 @@ def train_net(
     if mesh is not None:
         state = mesh_lib.replicate_tree(mesh, state)
     train_step = make_train_step(uq_state.model, loss_pe, config, tx, mesh)
+    # one compiled eval program reused across every validation epoch
+    eval_step = make_eval_loss_step(uq_state.model, loss_pe, config, mesh)
 
     global_step = int(state.step)
     for epoch in range(starting_epoch, epochs):
@@ -198,7 +204,7 @@ def train_net(
             lhat=lhat,
         )
         if epoch % validate_every == 0:
-            val_loss = eval_net(current, val_dataset, batch_size, mesh)
+            val_loss = eval_net(current, val_dataset, batch_size, mesh, step=eval_step)
             logger.log({"epoch": epoch, "iter": global_step, "val_loss": val_loss})
             print(f"Val loss: {val_loss}")
             if validation_hook is not None:
