@@ -170,6 +170,21 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
         example_input=jnp.asarray(x0)[None],
     )
 
+    def validation_hook(current_state, epoch, global_step):
+        # per-validation image panels (reference run_validation, train.py:29-58);
+        # failures must not kill training (reference wraps in try/except too)
+        try:
+            panels = get_images(
+                current_state,
+                val_ds,
+                list(range(config["num_validation_images"])),
+                config,
+            )["panels"]
+            for tag, imgs in panels.items():
+                logger.log_images(tag, imgs, step=epoch)
+        except Exception as e:
+            print(f"Failed logging images. ({e})")
+
     state = train_net(
         state,
         train_ds,
@@ -184,6 +199,7 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
         validate_every=config.get("validate_every", 10),
         config=config,
         logger=logger,
+        validation_hook=validation_hook,
     )
     print("Done training!")
 
