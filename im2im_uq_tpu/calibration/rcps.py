@@ -40,6 +40,7 @@ __all__ = [
     "lambda_grid",
     "rcps_loss_fn_name",
     "compute_loss_table",
+    "compute_risks_device",
     "calibrate_model",
     "evaluate_from_loss_table",
 ]
@@ -111,6 +112,52 @@ def compute_loss_table(
         slab = np.asarray(jax.device_get(step(uq_state.variables, x, y)))
         rows.append(slab[mask.astype(bool)])
     return np.concatenate(rows, axis=0)
+
+
+def compute_risks_device(
+    uq_state: UQState,
+    dataset,
+    lam_values: np.ndarray,
+    batch_size: int = 64,
+    mesh=None,
+    method: str = "direct",
+) -> np.ndarray:
+    """(L,) empirical risks R̂(λ), reduced on device across the mesh.
+
+    The distributed-calibration primitive: each device computes its batch
+    shard's loss-table slab and the per-λ mean reduces over the sharded
+    example axis — GSPMD emits the cross-device psum, so only L scalars per
+    batch ever reach the host. (calibrate_model keeps the full table because
+    the reference's artifacts require it; use this when only R̂ is needed.)
+    """
+    lam = jnp.asarray(lam_values, jnp.float32)
+    utype = uq_state.uncertainty_type
+    model = uq_state.model
+
+    def sums_step(variables, x, y, mask):
+        out = model.apply(variables, x, train=False)
+        params = set_ops.interval_params(out, utype)
+        slab = set_ops.rcps_loss_table(params, y, lam, method=method)  # (B, L)
+        return jnp.sum(slab * mask[:, None], axis=0), jnp.sum(mask)
+
+    if mesh is not None:
+        repl = mesh_lib.replicated(mesh)
+        shard = mesh_lib.batch_sharding(mesh)
+        sums_step = jax.jit(
+            sums_step,
+            in_shardings=(repl, shard, shard, shard),
+            out_shardings=(repl, repl),  # ← forces the on-device psum
+        )
+    else:
+        sums_step = jax.jit(sums_step)
+
+    total = np.zeros(len(lam_values), np.float64)
+    count = 0.0
+    for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
+        s, n = jax.device_get(sums_step(uq_state.variables, x, y, mask))
+        total += np.asarray(s, np.float64)
+        count += float(n)
+    return total / max(count, 1.0)
 
 
 def calibrate_model(

@@ -114,3 +114,29 @@ def test_multiseed_training_independent_replicas():
     assert float(l0) == pytest.approx(float(losses1[1]), rel=2e-2)
     solo, l1 = solo_step(solo, x, y, mask)
     assert float(l1) == pytest.approx(float(losses2[1]), rel=1e-1)
+
+
+def test_distributed_risk_psum_matches_host_mean(small_state):
+    """compute_risks_device (on-device sharded reduction) must equal the
+    host-side mean of the full loss table."""
+    import jax.numpy as jnp
+
+    from im2im_uq_tpu.calibration.rcps import compute_loss_table, compute_risks_device
+
+    class _DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return (
+                rng.randn(32, 32, 1).astype(np.float32),
+                rng.randn(32, 32, 1).astype(np.float32),
+            )
+
+    mesh = data_parallel_mesh()
+    lam = np.linspace(0.0, 4.0, 16)
+    ds = _DS()
+    risks = compute_risks_device(small_state, ds, lam, batch_size=8, mesh=mesh)
+    table = compute_loss_table(small_state, ds, lam, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(risks, table.mean(axis=0), rtol=1e-6, atol=1e-7)
