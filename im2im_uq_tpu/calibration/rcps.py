@@ -24,6 +24,7 @@ Semantics preserved exactly (SURVEY.md §2 quirk list):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -73,22 +74,57 @@ def default_table_method(config: Optional[dict] = None) -> str:
     return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "direct"
 
 
-def _make_table_step(uq_state: UQState, lam_values: np.ndarray, mesh, method: str):
-    """Jitted: (variables, x, y) → (B, L) fraction-missed table slab."""
-    lam = jnp.asarray(lam_values, jnp.float32)
-    utype = uq_state.uncertainty_type
-    model = uq_state.model
+def _slab_fn(model, utype: str, lam_tuple: tuple, method: str):
+    """(variables, x, y) → (B, L) fraction-missed slab (shared body for the
+    table and distributed-risk programs)."""
+    lam = jnp.asarray(lam_tuple, jnp.float32)
 
-    def step(variables, x, y):
+    def slab(variables, x, y):
         out = model.apply(variables, x, train=False)
         params = set_ops.interval_params(out, utype)
         return set_ops.rcps_loss_table(params, y, lam, method=method)
 
+    return slab
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_table_step(model, utype: str, lam_tuple: tuple, mesh, method: str):
+    step = _slab_fn(model, utype, lam_tuple, method)
     if mesh is None:
         return jax.jit(step)
     repl = mesh_lib.replicated(mesh)
     shard = mesh_lib.batch_sharding(mesh)
     return jax.jit(step, in_shardings=(repl, shard, shard), out_shardings=shard)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_risk_step(model, utype: str, lam_tuple: tuple, mesh, method: str):
+    slab = _slab_fn(model, utype, lam_tuple, method)
+
+    def sums(variables, x, y, mask):
+        s = slab(variables, x, y)  # (B, L)
+        return jnp.sum(s * mask[:, None], axis=0), jnp.sum(mask)
+
+    if mesh is None:
+        return jax.jit(sums)
+    repl = mesh_lib.replicated(mesh)
+    shard = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        sums,
+        in_shardings=(repl, shard, shard, shard),
+        out_shardings=(repl, repl),  # ← forces the on-device cross-shard psum
+    )
+
+
+def _make_table_step(uq_state: UQState, lam_values: np.ndarray, mesh, method: str):
+    """Jitted (B, L) table program, cached per (model, λ grid, mesh, method)."""
+    return _cached_table_step(
+        uq_state.model,
+        uq_state.uncertainty_type,
+        tuple(np.asarray(lam_values, np.float64).tolist()),
+        mesh,
+        method,
+    )
 
 
 def compute_loss_table(
@@ -122,42 +158,35 @@ def compute_risks_device(
     mesh=None,
     method: str = "direct",
 ) -> np.ndarray:
-    """(L,) empirical risks R̂(λ), reduced on device across the mesh.
+    """(L,) empirical risks R̂ evaluated at ``lam_values``, reduced on device.
 
     The distributed-calibration primitive: each device computes its batch
     shard's loss-table slab and the per-λ mean reduces over the sharded
     example axis — GSPMD emits the cross-device psum, so only L scalars per
     batch ever reach the host. (calibrate_model keeps the full table because
     the reference's artifacts require it; use this when only R̂ is needed.)
+
+    Note the reference-quirk offset: calibrate_model evaluates its table at
+    ``λ − dλ`` while tagging columns λ (calibrate_model.py:135). To replicate
+    its stopping rule with this primitive, pass ``lambda_grid(config) − dλ``,
+    not the raw grid.
     """
-    lam = jnp.asarray(lam_values, jnp.float32)
-    utype = uq_state.uncertainty_type
-    model = uq_state.model
-
-    def sums_step(variables, x, y, mask):
-        out = model.apply(variables, x, train=False)
-        params = set_ops.interval_params(out, utype)
-        slab = set_ops.rcps_loss_table(params, y, lam, method=method)  # (B, L)
-        return jnp.sum(slab * mask[:, None], axis=0), jnp.sum(mask)
-
-    if mesh is not None:
-        repl = mesh_lib.replicated(mesh)
-        shard = mesh_lib.batch_sharding(mesh)
-        sums_step = jax.jit(
-            sums_step,
-            in_shardings=(repl, shard, shard, shard),
-            out_shardings=(repl, repl),  # ← forces the on-device psum
-        )
-    else:
-        sums_step = jax.jit(sums_step)
-
+    step = _cached_risk_step(
+        uq_state.model,
+        uq_state.uncertainty_type,
+        tuple(np.asarray(lam_values, np.float64).tolist()),
+        mesh,
+        method,
+    )
     total = np.zeros(len(lam_values), np.float64)
     count = 0.0
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
-        s, n = jax.device_get(sums_step(uq_state.variables, x, y, mask))
+        s, n = jax.device_get(step(uq_state.variables, x, y, mask))
         total += np.asarray(s, np.float64)
         count += float(n)
-    return total / max(count, 1.0)
+    if count == 0:
+        raise ValueError("compute_risks_device: dataset produced no examples")
+    return total / count
 
 
 def calibrate_model(

@@ -119,8 +119,6 @@ def test_multiseed_training_independent_replicas():
 def test_distributed_risk_psum_matches_host_mean(small_state):
     """compute_risks_device (on-device sharded reduction) must equal the
     host-side mean of the full loss table."""
-    import jax.numpy as jnp
-
     from im2im_uq_tpu.calibration.rcps import compute_loss_table, compute_risks_device
 
     class _DS:
