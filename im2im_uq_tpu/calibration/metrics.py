@@ -140,6 +140,8 @@ def eval_set_metrics(
 
 def eval_risk_only(uq_state: UQState, dataset, config: dict, mesh=None) -> float:
     """Cheap risk check at λ̂ (no sampling/ranking side computation)."""
+    if uq_state.lhat is None:
+        raise ValueError("calibrate first or pass an explicit lam")
     lambdas = np.array([uq_state.lhat], dtype=np.float64)
     from im2im_uq_tpu.calibration.rcps import compute_loss_table
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import concurrent.futures as _futures
 import threading
-from queue import Queue
+from queue import Full, Queue
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -38,7 +38,12 @@ class Subset:
         return self.dataset[self.indices[i]]
 
     def __getattr__(self, name):
-        # forward metadata attributes (norm_params, cache_path, ...) to the base
+        # forward metadata attributes (norm_params, cache_path, ...) to the
+        # base; never forward 'dataset' itself or dunder/private probes —
+        # pickle/deepcopy query them on instances whose __dict__ is not yet
+        # populated and unconditional forwarding recurses forever
+        if name == "dataset" or name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self.dataset, name)
 
 
@@ -132,6 +137,17 @@ def iterate_batches(
     pool = _futures.ThreadPoolExecutor(num_threads) if num_threads > 0 else None
     q: Queue = Queue(maxsize=max(prefetch, 1))
     _SENTINEL = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that aborts when the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except Full:
+                continue
+        return False
 
     def _chunks():
         if map_style:
@@ -163,11 +179,12 @@ def iterate_batches(
                         x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
                         y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
                     mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
-                q.put(Batch((x, y, mask)))
+                if not _put(Batch((x, y, mask))):
+                    return
         except BaseException as e:  # surface worker errors to the consumer
-            q.put(e)
+            _put(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -180,6 +197,7 @@ def iterate_batches(
                 raise item
             yield item
     finally:
-        t.join(timeout=1.0)
+        stop.set()  # unblocks a producer parked on the bounded queue
+        t.join(timeout=2.0)
         if pool is not None:
             pool.shutdown(wait=False)

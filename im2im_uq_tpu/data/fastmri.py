@@ -69,6 +69,7 @@ class FastMRIDataset:
         import h5py
 
         self._h5py = h5py
+        path = os.path.expanduser(path)
         self.norm_params: Optional[dict] = None
         self.challenge = "singlecoil"
         self.recons_key = (
@@ -77,7 +78,7 @@ class FastMRIDataset:
         self.cache_path = os.path.join(path, ".cache/")
         os.makedirs(self.cache_path, exist_ok=True)
 
-        files = [f for f in Path(path).expanduser().iterdir() if "cache" not in str(f)]
+        files = [f for f in Path(path).iterdir() if "cache" not in str(f)]
         files = sorted(files)
         random.shuffle(files)
         if num_volumes and num_volumes < len(files):

@@ -176,6 +176,10 @@ def train_net(
                     lhat=lhat,
                 )
 
+    # copy the state buffers: train_step donates its input, and without a
+    # copy the donated arrays alias the caller's uq_state.variables (using
+    # the original UQState afterwards would raise "Array has been deleted")
+    state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
     if mesh is not None:
         state = mesh_lib.replicate_tree(mesh, state)
     train_step = make_train_step(uq_state.model, loss_pe, config, tx, mesh)

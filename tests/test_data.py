@@ -151,3 +151,31 @@ def test_synthetic_dataset_deterministic():
     np.testing.assert_array_equal(ya, yb)
     assert xa.shape == (16, 16, 1) and ya.shape == (16, 16, 1)
     assert 0 <= ya.min() and ya.max() <= 1.0
+
+
+def test_subset_pickles_and_deepcopies():
+    import copy
+    import pickle
+
+    ds = _Pairs(6)
+    sub = random_split(ds, [4, 2], np.random.RandomState(0))[0]
+    again = pickle.loads(pickle.dumps(sub))
+    np.testing.assert_array_equal(again[0][0], sub[0][0])
+    dup = copy.deepcopy(sub)
+    np.testing.assert_array_equal(dup[1][1], sub[1][1])
+
+
+def test_iterate_batches_early_exit_stops_producer():
+    import threading
+    import time
+
+    ds = _Pairs(64)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iterate_batches(ds, 4, prefetch=1)
+        next(it)
+        it.close()  # early exit — producer must not stay parked on the queue
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
