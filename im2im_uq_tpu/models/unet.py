@@ -73,9 +73,13 @@ class DoubleConv(nn.Module):
     """(conv3x3 → BN → ReLU) × 2 (reference unet_parts.py:8-25).
 
     BatchNorm uses torch defaults (eps 1e-5, torch momentum 0.1 ⇒ flax
-    momentum 0.9) and runs in float32 even under bf16 compute; under pjit
-    with a batch-sharded input the batch-stat reductions are global, i.e.
-    sync-BN across the data-parallel mesh for free.
+    momentum 0.9). Under bf16 compute the *activations* stay bf16 through
+    the BN (halving HBM traffic, the usual UNet bottleneck) while the
+    statistics are still reduced in float32 — flax's _compute_stats
+    force-promotes reductions to ≥f32 — and scale/bias/running stats live
+    in float32 (param_dtype). Under pjit with a batch-sharded input the
+    batch-stat reductions are global, i.e. sync-BN across the
+    data-parallel mesh for free.
     """
 
     features: int
@@ -91,7 +95,7 @@ class DoubleConv(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.dtype,
                 name=f"bn{i}",
             )(x)
             x = nn.relu(x)

@@ -1,0 +1,185 @@
+"""Batch inference / serving CLI: checkpoint + λ̂ → calibrated intervals.
+
+The reference has no standalone prediction entry point — calibrated
+intervals only materialize inside eval (reference: core/scripts/eval.py:24-84
+renders them to wandb images; core/models/add_uncertainty.py:40-46 is the
+``nested_sets`` API). This CLI is the production-serving counterpart: load a
+training checkpoint (params + batch stats + calibrated λ̂), compile ONE
+fixed-shape nested-sets program, and stream inputs through it —
+fixed batch shapes (padded tail) so the program never recompiles, threaded
+host IO overlapped with device compute, outputs written as one ``.npz``
+(lower / prediction / upper, plus λ̂ metadata) per input batch or a single
+consolidated file.
+
+Usage:
+    python -m im2im_uq_tpu.scripts.infer \
+        --config experiments/synthetic_test/config.yml \
+        --checkpoint output/checkpoints/CP_epoch10_... .msgpack \
+        --input inputs.npy --output out/ [--lam 2.5] [--batch-size 32]
+
+Inputs: a ``.npy``/``.npz`` array of shape (N, H, W, C) or (H, W, C), or a
+directory of such files (sorted order). Inputs are assumed normalized the
+same way the model was trained (the router's normalization stage,
+data/normalize.py, owns that contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from im2im_uq_tpu.models.assembly import UQState, add_uncertainty, build_trunk
+from im2im_uq_tpu.utils.config import DEFAULTS, load_config
+
+__all__ = ["load_uq_state_for_inference", "predict_intervals", "main"]
+
+
+def load_uq_state_for_inference(config: dict, checkpoint: str) -> UQState:
+    """Rebuild the model from config and restore (params, batch_stats, λ̂).
+
+    The checkpoint layout is the training layout (training/checkpoint.py);
+    the opt_state is restored structurally and discarded — serving never
+    touches it.
+    """
+    import optax
+
+    from im2im_uq_tpu.training.checkpoint import restore_checkpoint
+    from im2im_uq_tpu.training.train import TrainState
+
+    num_inputs = int(config.get("num_inputs", 1))
+    x0 = jnp.zeros((1, 64, 64, num_inputs), jnp.float32)
+    state = add_uncertainty(
+        build_trunk(config), config, rng=jax.random.key(0), example_input=x0
+    )
+    tx = optax.adam(float(config.get("lr", 1e-3)))
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables.get("batch_stats", {}),
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    ts, lhat, _epoch = restore_checkpoint(checkpoint, ts)
+    return state.replace(
+        variables={"params": ts.params, "batch_stats": ts.batch_stats}, lhat=lhat
+    )
+
+
+def _iter_input_arrays(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (name, (N,H,W,C) float32 array) from a file or directory."""
+    p = Path(os.path.expanduser(path))
+    files = (
+        sorted(q for q in p.iterdir() if q.suffix in (".npy", ".npz"))
+        if p.is_dir()
+        else [p]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .npy/.npz inputs under {path}")
+    for f in files:
+        if f.suffix == ".npz":
+            with np.load(f) as z:
+                arr = z[z.files[0]]
+        else:
+            arr = np.load(f)
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim != 4:
+            raise ValueError(f"{f}: expected (N,H,W,C) or (H,W,C), got {arr.shape}")
+        yield f.stem, arr
+
+
+def predict_intervals(
+    state: UQState,
+    inputs: np.ndarray,
+    batch_size: int = 32,
+    lam: Optional[float] = None,
+) -> dict[str, np.ndarray]:
+    """Run calibrated nested-sets over (N,H,W,C) inputs at fixed batch shape.
+
+    Returns {"lower", "prediction", "upper"} stacked to (N,H,W,C). The tail
+    batch is zero-padded to keep one compiled program (eval mode: BatchNorm
+    uses running stats, so padding never contaminates real outputs).
+    """
+    n = inputs.shape[0]
+    lowers, preds, uppers = [], [], []
+    for start in range(0, n, batch_size):
+        chunk = inputs[start : start + batch_size]
+        real = chunk.shape[0]
+        if real < batch_size:
+            pad = np.zeros((batch_size - real, *chunk.shape[1:]), chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        lo, pred, hi = state.nested_sets(jnp.asarray(chunk), lam=lam)
+        lowers.append(np.asarray(lo[:real]))
+        preds.append(np.asarray(pred[:real]))
+        uppers.append(np.asarray(hi[:real]))
+    return {
+        "lower": np.concatenate(lowers, axis=0),
+        "prediction": np.concatenate(preds, axis=0),
+        "upper": np.concatenate(uppers, axis=0),
+    }
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--config", required=True, help="experiment config YAML")
+    ap.add_argument("--checkpoint", required=True, help="training checkpoint (.msgpack)")
+    ap.add_argument("--input", required=True, help=".npy/.npz file or directory")
+    ap.add_argument("--output", required=True, help="output directory for .npz results")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument(
+        "--lam",
+        type=float,
+        default=None,
+        help="interval scale λ override (default: the checkpoint's calibrated λ̂)",
+    )
+    ap.add_argument(
+        "--grid-index",
+        type=int,
+        default=0,
+        help="which grid point of a sweep config describes the checkpointed model",
+    )
+    args = ap.parse_args(argv)
+
+    config = dict(DEFAULTS)
+    config.update(load_config(args.config, grid_index=args.grid_index)[0])
+    state = load_uq_state_for_inference(config, os.path.expanduser(args.checkpoint))
+    lam = args.lam if args.lam is not None else state.lhat
+    if lam is None:
+        raise SystemExit(
+            "checkpoint has no calibrated λ̂ — pass --lam or calibrate first"
+        )
+
+    out_dir = Path(os.path.expanduser(args.output))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    total, t0 = 0, time.perf_counter()
+    for name, arr in _iter_input_arrays(args.input):
+        result = predict_intervals(state, arr, args.batch_size, lam=lam)
+        out = out_dir / f"{name}_intervals.npz"
+        np.savez(out, lam=np.float64(lam), **result)
+        total += arr.shape[0]
+        print(f"{out}  ({arr.shape[0]} images)")
+    dt = time.perf_counter() - t0
+    summary = {
+        "images": total,
+        "seconds": round(dt, 3),
+        "imgs_per_sec": round(total / dt, 2) if dt > 0 else math.inf,
+        "lam": lam,
+        "uncertainty_type": config["uncertainty_type"],
+    }
+    with open(out_dir / "inference_summary.json", "w") as fh:
+        json.dump(summary, fh)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -209,6 +209,29 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
     state, calib_loss_table = calibrate_model(state, calib_ds, config, mesh=mesh)
     print(f"Model calibrated! lambda hat = {state.lhat}")
 
+    if config.get("checkpoint_dir"):
+        # persist the λ̂-bearing serving artifact (consumed by scripts.infer)
+        import jax as _jax
+        import jax.numpy as jnp
+        import optax as _optax
+
+        from im2im_uq_tpu.training.checkpoint import (
+            calibrated_checkpoint_path,
+            save_checkpoint,
+        )
+        from im2im_uq_tpu.training.train import TrainState
+
+        _params = state.variables["params"]
+        _ts = TrainState(
+            params=_params,
+            batch_stats=state.variables.get("batch_stats", {}),
+            opt_state=_optax.adam(config["lr"]).init(_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        cal_path = calibrated_checkpoint_path(config["checkpoint_dir"], config)
+        save_checkpoint(cal_path, _jax.device_get(_ts), state.lhat, config["epochs"])
+        print(f"Calibrated checkpoint saved: {cal_path}")
+
     if config.get("output_dir"):
         table = np.concatenate([calib_loss_table, val_loss_table], axis=0)
         with open(loss_table_filename(config), "wb") as fh:

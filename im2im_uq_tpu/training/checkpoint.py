@@ -22,6 +22,7 @@ from flax import serialization
 __all__ = [
     "checkpoint_key",
     "checkpoint_path",
+    "calibrated_checkpoint_path",
     "save_checkpoint",
     "restore_checkpoint",
     "find_resume_checkpoint",
@@ -45,6 +46,18 @@ def checkpoint_key(config: dict) -> str:
 def checkpoint_path(checkpoint_dir: str, epoch: int, config: dict) -> str:
     return os.path.join(
         checkpoint_dir, f"CP_epoch{epoch}_{checkpoint_key(config)}.msgpack"
+    )
+
+
+def calibrated_checkpoint_path(checkpoint_dir: str, config: dict) -> str:
+    """Post-calibration artifact carrying λ̂ — the serving entry point.
+
+    The reference has no such artifact (λ̂ only lives on the in-memory
+    module after calibrate_model, add_uncertainty.py:48-49); scripts.infer
+    consumes this one.
+    """
+    return os.path.join(
+        checkpoint_dir, f"CP_calibrated_{checkpoint_key(config)}.msgpack"
     )
 
 

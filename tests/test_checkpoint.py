@@ -77,3 +77,13 @@ def test_resume_scan_prefers_final_then_descends(tmp_path):
     save_checkpoint(checkpoint_path(str(tmp_path), epochs, CONFIG), state, 1.5, epochs)
     path, start = find_resume_checkpoint(str(tmp_path), epochs, CONFIG)
     assert start == epochs
+
+
+def test_calibrated_checkpoint_path_contract():
+    from im2im_uq_tpu.training.checkpoint import calibrated_checkpoint_path
+
+    cfg = {"dataset": "synthetic", "uncertainty_type": "quantiles",
+           "batch_size": 16, "lr": 0.001, "input_normalization": "standard",
+           "output_normalization": "min-max"}
+    p = calibrated_checkpoint_path("/ckpts", cfg)
+    assert p == "/ckpts/CP_calibrated_synthetic_quantiles_16_0.001_standard_min-max.msgpack"

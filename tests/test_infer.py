@@ -1,0 +1,144 @@
+"""Serving CLI test: checkpoint → calibrated intervals via scripts.infer.
+
+Covers the full serving path end-to-end — save a training checkpoint with a
+calibrated λ̂, rebuild + restore through the CLI loader, stream a
+non-batch-multiple input set through the fixed-shape program, and verify
+interval ordering and the λ override. Hermetic: tiny UNet, synthetic arrays.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import yaml
+
+from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+from im2im_uq_tpu.scripts import infer
+from im2im_uq_tpu.training.checkpoint import checkpoint_path, save_checkpoint
+from im2im_uq_tpu.training.train import TrainState
+from im2im_uq_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+CFG = {
+    "dataset": "synthetic",
+    "model": "UNet",
+    "uncertainty_type": "quantiles",
+    "batch_size": 4,
+    "lr": 1e-3,
+    "input_normalization": "standard",
+    "output_normalization": "min-max",
+    "q_lo": 0.05,
+    "q_hi": 0.95,
+    "q_lo_weight": 1.0,
+    "q_hi_weight": 1.0,
+    "mse_weight": 1.0,
+    "num_inputs": 1,
+}
+LHAT = 2.25
+
+
+@pytest.fixture(scope="module")
+def ckpt_and_config(tmp_path_factory):
+    root = tmp_path_factory.mktemp("infer")
+    state = add_uncertainty(
+        build_trunk(CFG), CFG, rng=jax.random.key(0),
+        example_input=jnp.zeros((1, 32, 32, 1)),
+    )
+    tx = optax.adam(CFG["lr"])
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables["batch_stats"],
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    path = checkpoint_path(str(root), 1, CFG)
+    save_checkpoint(path, ts, LHAT, 1)
+    cfg_yaml = root / "config.yml"
+    cfg_yaml.write_text(
+        yaml.safe_dump({"parameters": {k: {"value": v} for k, v in CFG.items()}})
+    )
+    return root, path, cfg_yaml, state
+
+
+def test_loader_restores_params_and_lhat(ckpt_and_config):
+    _, path, _, state = ckpt_and_config
+    restored = infer.load_uq_state_for_inference(dict(CFG), str(path))
+    assert restored.lhat == pytest.approx(LHAT)
+    k0 = state.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]
+    k1 = restored.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+
+def test_predict_intervals_tail_padding_and_ordering(ckpt_and_config):
+    _, path, _, _ = ckpt_and_config
+    state = infer.load_uq_state_for_inference(dict(CFG), str(path))
+    x = np.random.RandomState(0).randn(5, 32, 32, 1).astype(np.float32)
+    out = infer.predict_intervals(state, x, batch_size=4)  # 5 = 4 + ragged 1
+    assert out["prediction"].shape == (5, 32, 32, 1)
+    assert np.all(out["lower"] <= out["prediction"])
+    assert np.all(out["prediction"] <= out["upper"])
+    # tail result must equal the same example run in a full batch
+    full = infer.predict_intervals(state, x[4:5], batch_size=1)
+    np.testing.assert_allclose(
+        out["prediction"][4], full["prediction"][0], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_cli_end_to_end(ckpt_and_config, tmp_path):
+    root, path, cfg_yaml, _ = ckpt_and_config
+    x = np.random.RandomState(1).randn(3, 32, 32, 1).astype(np.float32)
+    np.save(tmp_path / "batch0.npy", x)
+    out_dir = tmp_path / "out"
+    rc = infer.main(
+        [
+            "--config", str(cfg_yaml),
+            "--checkpoint", str(path),
+            "--input", str(tmp_path / "batch0.npy"),
+            "--output", str(out_dir),
+            "--batch-size", "4",
+        ]
+    )
+    assert rc == 0
+    with np.load(out_dir / "batch0_intervals.npz") as z:
+        assert z["lam"] == pytest.approx(LHAT)  # λ̂ came from the checkpoint
+        assert z["lower"].shape == (3, 32, 32, 1)
+        assert np.all(z["lower"] <= z["upper"])
+    summary = json.loads((out_dir / "inference_summary.json").read_text())
+    assert summary["images"] == 3 and summary["uncertainty_type"] == "quantiles"
+
+
+def test_cli_lam_override_and_uncalibrated_guard(ckpt_and_config, tmp_path):
+    root, path, cfg_yaml, _ = ckpt_and_config
+    # uncalibrated checkpoint + no --lam → hard error
+    state = infer.load_uq_state_for_inference(dict(CFG), str(path))
+    tx = optax.adam(CFG["lr"])
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables["batch_stats"],
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    uncal = tmp_path / "uncal.msgpack"
+    save_checkpoint(str(uncal), ts, None, 1)
+    np.save(tmp_path / "x.npy", np.zeros((1, 32, 32, 1), np.float32))
+    args = [
+        "--config", str(cfg_yaml),
+        "--checkpoint", str(uncal),
+        "--input", str(tmp_path / "x.npy"),
+        "--output", str(tmp_path / "out2"),
+    ]
+    with pytest.raises(SystemExit):
+        infer.main(args)
+    # explicit λ unblocks it, and a wider λ widens the intervals
+    assert infer.main(args + ["--lam", "1.0"]) == 0
+    assert infer.main(args + ["--lam", "3.0", "--output", str(tmp_path / "out3")]) == 0
+    with np.load(tmp_path / "out2" / "x_intervals.npz") as z1, np.load(
+        tmp_path / "out3" / "x_intervals.npz"
+    ) as z3:
+        w1 = float(np.mean(z1["upper"] - z1["lower"]))
+        w3 = float(np.mean(z3["upper"] - z3["lower"]))
+    assert w3 >= w1

@@ -115,3 +115,44 @@ def test_bilinear_align_corners_matches_torch():
         .numpy()
     )
     np.testing.assert_allclose(np.moveaxis(got, -1, 1), exp, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_bn_activation_path_numerics():
+    """bf16 activations flow through BatchNorm (no f32 round-trip) while
+    BN statistics and params stay f32; training-mode forward tracks f32."""
+    import optax
+
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    cfg = {"model": "UNet", "uncertainty_type": "quantiles", "q_lo": 0.05,
+           "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0, "mse_weight": 1.0}
+    r = np.random.RandomState(0)
+    x = r.randn(2, 32, 32, 1).astype(np.float32)
+    y = r.randn(2, 32, 32, 1).astype(np.float32)
+    m = np.ones((2,), np.float32)
+    outs, losses, states = {}, {}, {}
+    for dt in ("float32", "bfloat16"):
+        c = dict(cfg, compute_dtype=dt)
+        st = add_uncertainty(build_trunk(c), c, rng=jax.random.key(0),
+                             example_input=jnp.zeros((1, 32, 32, 1)))
+        outs[dt] = st.apply(jnp.asarray(x))
+        tx = optax.adam(1e-3)
+        ts = TrainState(params=st.variables["params"],
+                        batch_stats=st.variables["batch_stats"],
+                        opt_state=tx.init(st.variables["params"]),
+                        step=jnp.zeros((), jnp.int32))
+        step = make_train_step(st.model, head_loss_pe_fn("quantiles"), c, tx)
+        ts, loss = step(ts, x, y, m)
+        losses[dt] = float(loss)
+        states[dt] = ts
+    # eval-mode forward within bf16 tolerance of f32
+    scale = float(jnp.std(outs["float32"])) or 1.0
+    assert float(jnp.max(jnp.abs(outs["bfloat16"] - outs["float32"]))) < 0.1 * scale
+    # one train step: loss within bf16 rounding of the f32 loss
+    assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=0.05)
+    # BN running stats and params still f32 after the bf16 step
+    bs = states["bfloat16"].batch_stats["trunk"]["inc"]["bn0"]
+    assert bs["mean"].dtype == jnp.float32 and bs["var"].dtype == jnp.float32
+    k = states["bfloat16"].params["trunk"]["inc"]["conv0"]["kernel"]
+    assert k.dtype == jnp.float32
