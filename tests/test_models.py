@@ -156,3 +156,54 @@ def test_bf16_bn_activation_path_numerics():
     assert bs["mean"].dtype == jnp.float32 and bs["var"].dtype == jnp.float32
     k = states["bfloat16"].params["trunk"]["inc"]["conv0"]["kernel"]
     assert k.dtype == jnp.float32
+
+
+def test_resize_custom_vjp_matches_autodiff():
+    """The scatter-free resize backward must equal autodiff of the plain
+    gather+lerp formulation (same taps, reordered sums)."""
+
+    def plain_resize(x, out_size, axis):
+        in_size = x.shape[axis]
+        if out_size == 1 or in_size == 1:
+            pos = jnp.zeros((out_size,), jnp.float32)
+        else:
+            pos = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / (out_size - 1))
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, in_size - 1)
+        frac = (pos - i0.astype(jnp.float32)).astype(x.dtype)
+        lo = jnp.take(x, i0, axis=axis)
+        hi = jnp.take(x, i1, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        return lo + (hi - lo) * frac.reshape(shape)
+
+    from im2im_uq_tpu.ops.resize import _resize_axis
+
+    r = np.random.RandomState(0)
+    for in_size, out_size, axis in [(5, 10, 1), (7, 13, 2), (8, 16, 1),
+                                    (10, 5, 1), (9, 1, 2), (1, 6, 1), (4, 4, 1)]:
+        shape = [2, in_size if axis == 1 else 3, in_size if axis == 2 else 3, 2]
+        x = jnp.asarray(r.randn(*shape).astype(np.float32))
+        ct = jnp.asarray(r.randn(*[s if i != axis else out_size
+                                   for i, s in enumerate(shape)]).astype(np.float32))
+        got_out = _resize_axis(x, out_size, axis)
+        exp_out = plain_resize(x, out_size, axis)
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(exp_out),
+                                   rtol=1e-6, atol=1e-6)
+        got_grad = jax.vjp(lambda a: _resize_axis(a, out_size, axis), x)[1](ct)[0]
+        exp_grad = jax.vjp(lambda a: plain_resize(a, out_size, axis), x)[1](ct)[0]
+        np.testing.assert_allclose(np.asarray(got_grad), np.asarray(exp_grad),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"in={in_size} out={out_size} axis={axis}")
+
+
+def test_resize_backward_is_gather_only():
+    """The train-critical property: the resize VJP HLO has no scatter op
+    (XLA:TPU serializes scatter into a while/dynamic-update-slice loop)."""
+    from im2im_uq_tpu.ops.resize import upsample2x_align_corners
+
+    def f(x):
+        return jnp.sum(upsample2x_align_corners(x) ** 2)
+
+    hlo = jax.jit(jax.grad(f)).lower(jnp.zeros((2, 8, 8, 4))).compile().as_text()
+    assert "scatter(" not in hlo, "resize backward reintroduced a scatter"
