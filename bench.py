@@ -34,6 +34,52 @@ CALIB_N = 128
 NUM_LAMBDAS = 1000
 
 
+def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
+    """Sum of TPU-lane op durations per step from a short profiler trace."""
+    import glob
+    import gzip
+    import re
+    import tempfile
+
+    import jax
+
+    import jax.numpy as jnp
+
+    try:
+        # the train step donates its state argument — run on a private copy
+        # so the caller's buffers survive
+        ts = jax.tree.map(lambda a: jnp.array(a, copy=True), ts)
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                for _ in range(steps):
+                    ts, loss = step(ts, x, y, mask)
+                jax.block_until_ready(loss)
+            files = sorted(glob.glob(td + "/**/*.trace.json.gz", recursive=True))
+            if not files:
+                return None
+            with gzip.open(files[-1]) as fh:
+                tr = json.load(fh)
+        ev = tr["traceEvents"]
+        lanes = {
+            e["pid"]: e["args"].get("name", "")
+            for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+        }
+        total = 0.0
+        for e in ev:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            if "TPU" not in lanes.get(e.get("pid"), ""):
+                continue
+            n = e["name"]
+            if n.startswith("jit_") or re.fullmatch(r"\d+", n):
+                continue  # container rows double-count their children
+            total += e["dur"]
+        return round(total / steps / 1e3, 2)
+    except Exception:
+        return None  # profiling is best-effort (not supported on all backends)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -97,6 +143,32 @@ def main() -> None:
         best_dt = min(best_dt, time.perf_counter() - t0)
     imgs_per_sec = BATCH * TRAIN_STEPS / best_dt / n_chips
 
+    # device-busy time from a profiler trace: the tunnel's wall clock can
+    # misreport under load, so also derive on-chip busy ms/step (sum of
+    # device-lane op durations / steps) as a load-independent cross-check
+    device_ms_per_step = _device_busy_ms(step, ts, x, y, mask, steps=3)
+
+    # bf16 activation path (reference numerics stay fp32; this is the
+    # TPU-native precision option) — device-busy only
+    bf16_cfg = dict(config, compute_dtype="bfloat16")
+    state16 = add_uncertainty(
+        build_trunk(bf16_cfg), bf16_cfg, rng=jax.random.key(0), example_input=x0
+    )
+    ts16 = TrainState(
+        params=state16.variables["params"],
+        batch_stats=state16.variables["batch_stats"],
+        opt_state=tx.init(state16.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    ts16 = replicate_tree(mesh, ts16)
+    step16 = make_train_step(
+        state16.model, head_loss_pe_fn("quantiles"), bf16_cfg, tx, mesh
+    )
+    ts16, l16 = step16(ts16, x, y, mask)
+    jax.block_until_ready(l16)
+    device_ms_bf16 = _device_busy_ms(step16, ts16, x, y, mask, steps=3)
+    del ts16, state16
+
     # calibration wall-clock at FastMRI scale (forward + full λ-grid table + λ̂)
     class _Synth:
         def __len__(self):
@@ -137,6 +209,13 @@ def main() -> None:
                     "batch": BATCH,
                     "image": IMAGE,
                     "n_chips": n_chips,
+                    "device_busy_ms_per_step": device_ms_per_step,
+                    "device_busy_imgs_per_sec": (
+                        round(BATCH * 1e3 / device_ms_per_step, 1)
+                        if device_ms_per_step
+                        else None
+                    ),
+                    "device_busy_ms_per_step_bf16": device_ms_bf16,
                     "calibration_seconds_n128_L1000": round(calib_seconds, 2),
                     "calibration_seconds_incl_compile": round(calib_cold, 2),
                     "lhat": state.lhat,
