@@ -5,8 +5,21 @@ The reference pickles the whole nn.Module per epoch as
 by probing the final epoch then scanning downward (reference:
 core/scripts/train.py:80-98,183-195). Whole-module pickling has no JAX
 equivalent; instead we serialize an explicit (params, batch_stats,
-opt_state, lhat, epoch) tree as a single msgpack file, keeping the same
-config-keyed filename scheme and the same resume scan.
+opt_state, lhat, epoch) tree, keeping the same config-keyed filename
+scheme and the same resume scan.
+
+Two interchangeable backends (config key ``checkpoint_backend``):
+
+- ``flax`` (default): one msgpack file per checkpoint — simple, portable,
+  single-host.
+- ``orbax``: an Orbax StandardCheckpointer directory per checkpoint —
+  sharding-aware multi-host saves (each host writes its shards; restore
+  re-shards to the live mesh) and optional async writes that overlap the
+  next training epoch (``save_checkpoint(..., backend="orbax",
+  async_save=True)``).
+
+``find_resume_checkpoint`` and ``restore_checkpoint`` accept either layout
+transparently (a ``.msgpack`` file or an Orbax directory at the same stem).
 """
 
 from __future__ import annotations
@@ -26,6 +39,7 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "find_resume_checkpoint",
+    "wait_for_async_saves",
 ]
 
 
@@ -43,9 +57,16 @@ def checkpoint_key(config: dict) -> str:
     )
 
 
-def checkpoint_path(checkpoint_dir: str, epoch: int, config: dict) -> str:
+def _suffix(backend: str) -> str:
+    return ".orbax" if backend == "orbax" else ".msgpack"
+
+
+def checkpoint_path(
+    checkpoint_dir: str, epoch: int, config: dict, backend: Optional[str] = None
+) -> str:
+    backend = backend or config.get("checkpoint_backend", "flax")
     return os.path.join(
-        checkpoint_dir, f"CP_epoch{epoch}_{checkpoint_key(config)}.msgpack"
+        checkpoint_dir, f"CP_epoch{epoch}_{checkpoint_key(config)}{_suffix(backend)}"
     )
 
 
@@ -67,14 +88,54 @@ def _pack(train_state, lhat: Optional[float], epoch: int) -> dict:
         "batch_stats": train_state.batch_stats,
         "opt_state": train_state.opt_state,
         "step": train_state.step,
-        "lhat": np.float64(math.nan if lhat is None else lhat),
-        "epoch": np.int64(epoch),
+        "lhat": np.asarray(math.nan if lhat is None else lhat, np.float64),
+        "epoch": np.asarray(epoch, np.int64),
     }
 
 
-def save_checkpoint(path: str, train_state, lhat: Optional[float], epoch: int) -> None:
+_async_checkpointer = None  # lazily built; reused so saves can overlap epochs
+
+
+def _orbax_checkpointer(async_save: bool):
+    global _async_checkpointer
+    import orbax.checkpoint as ocp
+
+    if not async_save:
+        return ocp.StandardCheckpointer()
+    if _async_checkpointer is None:
+        _async_checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_checkpointer
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight orbax async save has committed."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
+def save_checkpoint(
+    path: str,
+    train_state,
+    lhat: Optional[float],
+    epoch: int,
+    async_save: bool = False,
+) -> None:
+    """Write a checkpoint; the backend is inferred from the path suffix.
+
+    ``.orbax`` paths save through Orbax (sharding-aware; pass
+    ``async_save=True`` to overlap the write with compute — call
+    ``wait_for_async_saves()`` before reading it back). Everything else
+    writes the single-file flax msgpack layout.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    data = serialization.to_bytes(_pack(train_state, lhat, epoch))
+    tree = _pack(train_state, lhat, epoch)
+    if path.endswith(".orbax"):
+        ckptr = _orbax_checkpointer(async_save)
+        ckptr.save(os.path.abspath(path), tree, force=True)
+        if not async_save:
+            ckptr.wait_until_finished()
+        return
+    data = serialization.to_bytes(tree)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(data)
@@ -82,9 +143,20 @@ def save_checkpoint(path: str, train_state, lhat: Optional[float], epoch: int) -
 
 
 def restore_checkpoint(path: str, train_state) -> tuple[Any, Optional[float], int]:
-    """Restore into the structure of ``train_state``; returns (state, lhat, epoch)."""
-    with open(path, "rb") as fh:
-        restored = serialization.from_bytes(_pack(train_state, None, 0), fh.read())
+    """Restore into the structure of ``train_state``; returns (state, lhat, epoch).
+
+    Accepts either backend layout: an Orbax directory or a msgpack file.
+    """
+    target = _pack(train_state, None, 0)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        wait_for_async_saves()
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), target)
+    else:
+        with open(path, "rb") as fh:
+            restored = serialization.from_bytes(target, fh.read())
     new_state = train_state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
@@ -102,13 +174,18 @@ def find_resume_checkpoint(
 
     Mirrors the reference's resume probe order (train.py:80-98): the final
     checkpoint resumes with starting_epoch == epochs (training is a no-op);
-    an intermediate CP_epoch{e} resumes from epoch e.
+    an intermediate CP_epoch{e} resumes from epoch e. Both backend layouts
+    are probed (configured backend first).
     """
-    final = checkpoint_path(checkpoint_dir, epochs, config)
-    if os.path.exists(final):
-        return final, epochs
+    first = config.get("checkpoint_backend", "flax")
+    backends = (first,) + (("orbax",) if first != "orbax" else ("flax",))
+    for b in backends:
+        final = checkpoint_path(checkpoint_dir, epochs, config, backend=b)
+        if os.path.exists(final):
+            return final, epochs
     for e in reversed(range(epochs)):
-        p = checkpoint_path(checkpoint_dir, e, config)
-        if os.path.exists(p):
-            return p, e
+        for b in backends:
+            p = checkpoint_path(checkpoint_dir, e, config, backend=b)
+            if os.path.exists(p):
+                return p, e
     return None, 0

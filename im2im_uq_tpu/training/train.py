@@ -216,9 +216,18 @@ def train_net(
 
         if (epoch + 1) % checkpoint_every == 0 and checkpoint_dir:
             path = ckpt.checkpoint_path(checkpoint_dir, epoch + 1, config)
-            ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
+            if path.endswith(".orbax"):
+                # hand orbax the live (possibly sharded) arrays — with
+                # async_checkpoint the write overlaps the next epoch
+                ckpt.save_checkpoint(
+                    path, state, lhat, epoch + 1,
+                    async_save=bool(config.get("async_checkpoint", False)),
+                )
+            else:
+                ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
             print(f"Checkpoint {epoch + 1} saved!")
 
+    ckpt.wait_for_async_saves()
     return uq_state.replace(
         variables={"params": state.params, "batch_stats": state.batch_stats},
         lhat=lhat,

@@ -1,5 +1,7 @@
 """Checkpoint save/restore/resume with the reference filename contract."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -87,3 +89,87 @@ def test_calibrated_checkpoint_path_contract():
            "output_normalization": "min-max"}
     p = calibrated_checkpoint_path("/ckpts", cfg)
     assert p == "/ckpts/CP_calibrated_synthetic_quantiles_16_0.001_standard_min-max.msgpack"
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    state = _tiny_state(5)
+    cfg = dict(CONFIG, checkpoint_backend="orbax")
+    path = checkpoint_path(str(tmp_path), 4, cfg)
+    assert path.endswith(".orbax")
+    save_checkpoint(path, state, lhat=1.75, epoch=4)
+    restored, lhat, epoch = restore_checkpoint(path, _tiny_state(0))
+    assert lhat == 1.75 and epoch == 4
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    assert int(restored.step) == 5
+
+
+def test_orbax_async_save(tmp_path):
+    from im2im_uq_tpu.training.checkpoint import wait_for_async_saves
+
+    state = _tiny_state(7)
+    cfg = dict(CONFIG, checkpoint_backend="orbax")
+    path = checkpoint_path(str(tmp_path), 2, cfg)
+    save_checkpoint(path, state, lhat=None, epoch=2, async_save=True)
+    wait_for_async_saves()
+    restored, lhat, epoch = restore_checkpoint(path, _tiny_state(0))
+    assert lhat is None and epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["b"]), np.asarray(state.params["b"])
+    )
+
+
+def test_resume_scan_finds_either_backend(tmp_path):
+    state = _tiny_state()
+    epochs = 6
+    # an orbax checkpoint at epoch 4 is found even with flax configured
+    ocfg = dict(CONFIG, checkpoint_backend="orbax")
+    save_checkpoint(checkpoint_path(str(tmp_path), 4, ocfg), state, None, 4)
+    path, start = find_resume_checkpoint(str(tmp_path), epochs, CONFIG)
+    assert start == 4 and path.endswith(".orbax")
+    # a newer flax checkpoint wins the scan
+    save_checkpoint(checkpoint_path(str(tmp_path), 5, CONFIG), state, None, 5)
+    path, start = find_resume_checkpoint(str(tmp_path), epochs, CONFIG)
+    assert start == 5 and path.endswith(".msgpack")
+
+
+def test_train_net_orbax_async_end_to_end(tmp_path):
+    """train_net with the orbax backend + async saves: checkpoints commit,
+    and a second call resumes from the final epoch without training."""
+    import jax
+
+    from im2im_uq_tpu.data.synthetic import SyntheticDataset
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.training.train import train_net
+    from im2im_uq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = {
+        "dataset": "synthetic", "model": "UNet", "uncertainty_type": "quantiles",
+        "batch_size": 4, "lr": 1e-3, "epochs": 1, "input_normalization": "standard",
+        "output_normalization": "min-max", "q_lo": 0.05, "q_hi": 0.95,
+        "q_lo_weight": 1.0, "q_hi_weight": 1.0, "mse_weight": 1.0,
+        "checkpoint_backend": "orbax", "async_checkpoint": True,
+    }
+    ds = SyntheticDataset(num_examples=8, image_size=16, seed=0)
+    state = add_uncertainty(
+        build_trunk(cfg), cfg, rng=jax.random.key(0),
+        example_input=jnp.zeros((1, 16, 16, 1)),
+    )
+    trained = train_net(
+        state, ds, ds, None, epochs=1, batch_size=4, lr=1e-3,
+        checkpoint_dir=str(tmp_path), checkpoint_every=1, validate_every=10,
+        config=cfg,
+    )
+    path = checkpoint_path(str(tmp_path), 1, cfg)
+    assert path.endswith(".orbax") and os.path.isdir(path)
+    resumed = train_net(
+        trained, ds, ds, None, epochs=1, batch_size=4, lr=1e-3,
+        load_from_checkpoint=True, checkpoint_dir=str(tmp_path),
+        checkpoint_every=1, validate_every=10, config=cfg,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]),
+        np.asarray(trained.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]),
+    )
