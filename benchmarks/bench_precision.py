@@ -8,12 +8,13 @@ chip). Prints one JSON line per dtype config.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from im2im_uq_tpu.utils.cache import enable_compilation_cache
 

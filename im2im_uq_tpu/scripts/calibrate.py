@@ -62,18 +62,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     args = ap.parse_args(argv)
 
     # defer jax-importing modules until after arg parsing
-    import jax
-
     from im2im_uq_tpu.calibration.rcps import calibrate_model
     from im2im_uq_tpu.data.core import random_split, split_lengths
     from im2im_uq_tpu.parallel.mesh import data_parallel_mesh
     from im2im_uq_tpu.scripts.infer import load_uq_state_for_inference
     from im2im_uq_tpu.scripts.router import build_dataset
-    from im2im_uq_tpu.training.checkpoint import (
-        calibrated_checkpoint_path,
-        save_checkpoint,
-    )
-    from im2im_uq_tpu.training.train import TrainState
+    from im2im_uq_tpu.training.checkpoint import save_calibrated_checkpoint
     from im2im_uq_tpu.utils.random import fix_randomness
 
     config = dict(DEFAULTS)
@@ -107,19 +101,7 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     out_dir = Path(os.path.expanduser(args.output_dir))
     out_dir.mkdir(parents=True, exist_ok=True)
-
-    import jax.numpy as jnp
-    import optax
-
-    params = state.variables["params"]
-    ts = TrainState(
-        params=params,
-        batch_stats=state.variables.get("batch_stats", {}),
-        opt_state=optax.adam(float(config.get("lr", 1e-3))).init(params),
-        step=jnp.zeros((), jnp.int32),
-    )
-    ckpt_path = calibrated_checkpoint_path(str(out_dir), config)
-    save_checkpoint(ckpt_path, jax.device_get(ts), state.lhat, int(config.get("epochs", 0)))
+    ckpt_path = save_calibrated_checkpoint(state, config, str(out_dir))
 
     table_path = out_dir / "calibration_loss_table.npz"
     np.savez(table_path, loss_table=np.asarray(loss_table))

@@ -5,11 +5,9 @@ intervals only materialize inside eval (reference: core/scripts/eval.py:24-84
 renders them to wandb images; core/models/add_uncertainty.py:40-46 is the
 ``nested_sets`` API). This CLI is the production-serving counterpart: load a
 training checkpoint (params + batch stats + calibrated λ̂), compile ONE
-fixed-shape nested-sets program, and stream inputs through it —
-fixed batch shapes (padded tail) so the program never recompiles, threaded
-host IO overlapped with device compute, outputs written as one ``.npz``
-(lower / prediction / upper, plus λ̂ metadata) per input batch or a single
-consolidated file.
+fixed-shape nested-sets program, and stream inputs through it — fixed
+batch shapes (padded tail) so the program never recompiles — writing one
+``.npz`` (lower / prediction / upper, plus λ̂ metadata) per input file.
 
 Usage:
     python -m im2im_uq_tpu.scripts.infer \
@@ -83,6 +81,7 @@ def _iter_input_arrays(path: str) -> Iterator[tuple[str, np.ndarray]]:
     )
     if not files:
         raise FileNotFoundError(f"no .npy/.npz inputs under {path}")
+    seen: set[str] = set()
     for f in files:
         if f.suffix == ".npz":
             with np.load(f) as z:
@@ -94,7 +93,12 @@ def _iter_input_arrays(path: str) -> Iterator[tuple[str, np.ndarray]]:
             arr = arr[None]
         if arr.ndim != 4:
             raise ValueError(f"{f}: expected (N,H,W,C) or (H,W,C), got {arr.shape}")
-        yield f.stem, arr
+        if arr.shape[0] == 0:
+            raise ValueError(f"{f}: contains no images (shape {arr.shape})")
+        # 'a.npy' and 'a.npz' in one directory must not collide on 'a'
+        name = f.stem if f.stem not in seen else f.stem + f.suffix.replace(".", "_")
+        seen.add(name)
+        yield name, arr
 
 
 def predict_intervals(
@@ -110,6 +114,9 @@ def predict_intervals(
     uses running stats, so padding never contaminates real outputs).
     """
     n = inputs.shape[0]
+    if n == 0:
+        empty = np.zeros(inputs.shape, np.float32)
+        return {"lower": empty, "prediction": empty.copy(), "upper": empty.copy()}
     lowers, preds, uppers = [], [], []
     for start in range(0, n, batch_size):
         chunk = inputs[start : start + batch_size]

@@ -211,25 +211,9 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
 
     if config.get("checkpoint_dir"):
         # persist the λ̂-bearing serving artifact (consumed by scripts.infer)
-        import jax as _jax
-        import jax.numpy as jnp
-        import optax as _optax
+        from im2im_uq_tpu.training.checkpoint import save_calibrated_checkpoint
 
-        from im2im_uq_tpu.training.checkpoint import (
-            calibrated_checkpoint_path,
-            save_checkpoint,
-        )
-        from im2im_uq_tpu.training.train import TrainState
-
-        _params = state.variables["params"]
-        _ts = TrainState(
-            params=_params,
-            batch_stats=state.variables.get("batch_stats", {}),
-            opt_state=_optax.adam(config["lr"]).init(_params),
-            step=jnp.zeros((), jnp.int32),
-        )
-        cal_path = calibrated_checkpoint_path(config["checkpoint_dir"], config)
-        save_checkpoint(cal_path, _jax.device_get(_ts), state.lhat, config["epochs"])
+        cal_path = save_calibrated_checkpoint(state, config, config["checkpoint_dir"])
         print(f"Calibrated checkpoint saved: {cal_path}")
 
     if config.get("output_dir"):

@@ -70,16 +70,47 @@ def checkpoint_path(
     )
 
 
-def calibrated_checkpoint_path(checkpoint_dir: str, config: dict) -> str:
+def calibrated_checkpoint_path(
+    checkpoint_dir: str, config: dict, backend: Optional[str] = None
+) -> str:
     """Post-calibration artifact carrying λ̂ — the serving entry point.
 
     The reference has no such artifact (λ̂ only lives on the in-memory
     module after calibrate_model, add_uncertainty.py:48-49); scripts.infer
     consumes this one.
     """
+    backend = backend or config.get("checkpoint_backend", "flax")
     return os.path.join(
-        checkpoint_dir, f"CP_calibrated_{checkpoint_key(config)}.msgpack"
+        checkpoint_dir, f"CP_calibrated_{checkpoint_key(config)}{_suffix(backend)}"
     )
+
+
+def save_calibrated_checkpoint(uq_state, config: dict, checkpoint_dir: str) -> str:
+    """Write the λ̂-bearing serving artifact for a calibrated UQState.
+
+    Single source of truth for the serving-artifact layout (a TrainState
+    with a fresh optimizer state, tagged with the config's epoch count) —
+    used by both the router and the calibrate-only CLI. Honors
+    ``checkpoint_backend`` (orbax saves take the live, possibly sharded,
+    arrays; msgpack fetches to host first).
+    """
+    import jax
+    import optax
+
+    from im2im_uq_tpu.training.train import TrainState
+
+    params = uq_state.variables["params"]
+    ts = TrainState(
+        params=params,
+        batch_stats=uq_state.variables.get("batch_stats", {}),
+        opt_state=optax.adam(float(config.get("lr", 1e-3))).init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    path = calibrated_checkpoint_path(checkpoint_dir, config)
+    if not path.endswith(".orbax"):
+        ts = jax.device_get(ts)
+    save_checkpoint(path, ts, uq_state.lhat, int(config.get("epochs", 0)))
+    return path
 
 
 def _pack(train_state, lhat: Optional[float], epoch: int) -> dict:
@@ -148,10 +179,12 @@ def restore_checkpoint(path: str, train_state) -> tuple[Any, Optional[float], in
     Accepts either backend layout: an Orbax directory or a msgpack file.
     """
     target = _pack(train_state, None, 0)
+    # an in-flight async save only renames its tmp dir to `path` on commit —
+    # wait BEFORE probing the path or a pending orbax save looks absent
+    wait_for_async_saves()
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
-        wait_for_async_saves()
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), target)
     else:

@@ -173,3 +173,41 @@ def test_train_net_orbax_async_end_to_end(tmp_path):
         np.asarray(resumed.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]),
         np.asarray(trained.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]),
     )
+
+
+def test_restore_waits_for_pending_async_save(tmp_path):
+    """restore_checkpoint must block on an in-flight async orbax save even
+    though the target directory does not exist yet at call time."""
+    state = _tiny_state(11)
+    cfg = dict(CONFIG, checkpoint_backend="orbax")
+    path = checkpoint_path(str(tmp_path), 3, cfg)
+    save_checkpoint(path, state, lhat=0.5, epoch=3, async_save=True)
+    # no manual wait_for_async_saves(): restore must do it itself
+    restored, lhat, epoch = restore_checkpoint(path, _tiny_state(0))
+    assert lhat == 0.5 and epoch == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+
+
+def test_save_calibrated_checkpoint_honors_backend(tmp_path):
+    import jax
+
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.training.checkpoint import save_calibrated_checkpoint
+
+    base = {"dataset": "synthetic", "model": "UNet", "uncertainty_type": "quantiles",
+            "batch_size": 4, "lr": 1e-3, "epochs": 2,
+            "input_normalization": "standard", "output_normalization": "min-max",
+            "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
+            "mse_weight": 1.0}
+    st = add_uncertainty(build_trunk(base), base, rng=jax.random.key(0),
+                         example_input=jnp.zeros((1, 16, 16, 1))).set_lhat(3.5)
+    for backend, check in (("flax", os.path.isfile), ("orbax", os.path.isdir)):
+        cfg = dict(base, checkpoint_backend=backend)
+        path = save_calibrated_checkpoint(st, cfg, str(tmp_path / backend))
+        assert check(path), (backend, path)
+        from im2im_uq_tpu.scripts.infer import load_uq_state_for_inference
+
+        restored = load_uq_state_for_inference(cfg, path)
+        assert restored.lhat == pytest.approx(3.5)

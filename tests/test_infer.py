@@ -142,3 +142,21 @@ def test_cli_lam_override_and_uncalibrated_guard(ckpt_and_config, tmp_path):
         w1 = float(np.mean(z1["upper"] - z1["lower"]))
         w3 = float(np.mean(z3["upper"] - z3["lower"]))
     assert w3 >= w1
+
+
+def test_input_iteration_name_collision_and_empty(tmp_path):
+    x = np.zeros((2, 8, 8, 1), np.float32)
+    np.save(tmp_path / "a.npy", x)
+    np.savez(tmp_path / "a.npz", x=x + 1)
+    names = [n for n, _ in infer._iter_input_arrays(str(tmp_path))]
+    assert len(names) == len(set(names)) == 2  # no silent overwrite
+    np.save(tmp_path / "empty.npy", np.zeros((0, 8, 8, 1), np.float32))
+    with pytest.raises(ValueError, match="no images"):
+        list(infer._iter_input_arrays(str(tmp_path / "empty.npy")))
+
+
+def test_predict_intervals_empty_input(ckpt_and_config):
+    _, path, _, _ = ckpt_and_config
+    state = infer.load_uq_state_for_inference(dict(CFG), str(path))
+    out = infer.predict_intervals(state, np.zeros((0, 32, 32, 1), np.float32))
+    assert out["prediction"].shape == (0, 32, 32, 1)
