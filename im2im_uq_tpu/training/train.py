@@ -54,10 +54,21 @@ def make_train_step(
     hyper: dict,
     tx: optax.GradientTransformation,
     mesh=None,
+    preprocess: Optional[Callable] = None,
 ):
-    """Build the jitted SPMD train step: (state, x, y, mask) → (state, loss)."""
+    """Build the jitted SPMD train step: (state, x, y, mask) → (state, loss).
+
+    ``preprocess`` (optional) maps the raw batch input to the model input
+    INSIDE the compiled program — e.g. ops.mri_pipeline.zero_filled_recon
+    closes the k-space mask/IFFT/crop/magnitude physics into the same XLA
+    program as the forward/backward, so the host loader ships raw k-space
+    and the device never waits on host FFTs.
+    """
 
     def train_step(state: TrainState, x, y, mask):
+        if preprocess is not None:
+            x = preprocess(x)
+
         def loss_of(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -91,11 +102,16 @@ def make_train_step(
     )
 
 
-def make_eval_loss_step(model, loss_pe_fn: Callable, hyper: dict, mesh=None):
+def make_eval_loss_step(
+    model, loss_pe_fn: Callable, hyper: dict, mesh=None,
+    preprocess: Optional[Callable] = None,
+):
     """Jitted eval-mode loss: (variables, x, y, mask) → (masked mean, count)."""
 
     def eval_step(variables, x, y, mask):
-        out = model.apply(variables, x, train=False)
+        out = model.apply(
+            variables, x if preprocess is None else preprocess(x), train=False
+        )
         return _masked_mean(loss_pe_fn(out, y, hyper), mask), jnp.sum(mask)
 
     if mesh is None:
