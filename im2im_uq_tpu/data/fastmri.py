@@ -65,6 +65,7 @@ class FastMRIDataset:
         mask_info: dict,
         num_volumes: Optional[int] = None,
         slice_sample_period: int = 1,
+        return_kspace: bool = False,
     ):
         import h5py
 
@@ -101,6 +102,7 @@ class FastMRIDataset:
         self.transform = UnetDataTransform(self.challenge, mask_func=mask_func, use_seed=False)
         self.normalize_input = normalize_input
         self.normalize_output = normalize_output
+        self.return_kspace = return_kspace
 
     def _retrieve_metadata(self, fname) -> tuple[dict, int]:
         """Parse ISMRMRD enc/recon sizes + k-space padding (FastMRIDataset.py:93-126)."""
@@ -148,6 +150,8 @@ class FastMRIDataset:
             attrs = dict(hf.attrs)
             attrs.update(metadata)
 
+        if self.return_kspace:
+            return self._kspace_item(kspace, mask, target, fname.name)
         image, target, *_ = self.transform(kspace, mask, target, attrs, fname.name, dataslice)
         image = self._apply_norm(image, self.normalize_input, "input")
         target = self._apply_norm(target, self.normalize_output, "output")
@@ -156,6 +160,52 @@ class FastMRIDataset:
             np.asarray(image, np.float32)[..., None],
             np.asarray(target, np.float32)[..., None],
         )
+
+    def _kspace_item(self, kspace, mask, target, fname: str):
+        """Raw-kspace mode for the on-device pipeline (ops/mri_pipeline.py):
+        returns (masked k-space real-pair (H, W, 2), normalized target) —
+        masking stays on the host (tiny, and preserves the mask-RNG
+        semantics); IFFT/crop/magnitude/input-normalization run on device
+        via ``device_preprocess``. Mask seeding mirrors UnetDataTransform
+        (fresh mask per access under the default use_seed=False)."""
+        from im2im_uq_tpu.data.transforms import apply_mask, center_crop
+
+        pair = to_real_pair(np.asarray(kspace))
+        if self.transform.mask_func and mask is None:
+            seed = tuple(map(ord, fname)) if self.transform.use_seed else None
+            pair, _ = apply_mask(pair, self.transform.mask_func, seed)
+        crop = (target.shape[-2], target.shape[-1])
+        target = center_crop(np.asarray(target), crop)
+        target = self._apply_norm(target, self.normalize_output, "output")
+        return (
+            np.asarray(pair, np.float32),
+            np.asarray(target, np.float32)[..., None],
+        )
+
+    def device_preprocess(self, crop: tuple[int, int]):
+        """jnp closure reproducing the image-domain input path on device:
+        zero-filled recon (the mask was applied host-side) + the dataset's
+        input normalization. Pass as ``preprocess`` to make_train_step /
+        make_eval_loss_step; requires ``norm_params`` (run normalize_dataset
+        in image mode first, then flip ``return_kspace`` on)."""
+        import jax.numpy as jnp
+
+        from im2im_uq_tpu.ops.mri_pipeline import zero_filled_recon
+
+        which, p = self.normalize_input, self.norm_params
+
+        def preprocess(kspace_pair):
+            img = zero_filled_recon(kspace_pair, None, crop)
+            if p is None:
+                return img
+            if which == "standard":
+                return (img - p["input_mean"]) / p["input_std"]
+            if which == "min-max":
+                # reference quirk: divides by max, not (max − min)
+                return (img - p["input_min"]) / p["input_max"]
+            return img
+
+        return preprocess
 
 
 _HEADER_TEMPLATE = """<?xml version="1.0" encoding="UTF-8"?>

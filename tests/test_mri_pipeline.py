@@ -113,3 +113,30 @@ def test_train_step_with_fused_kspace_preprocess():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # training moves on raw k-space input
+
+
+def test_fastmri_dataset_kspace_mode_matches_image_mode(tmp_path):
+    """Dataset in raw-kspace mode + device_preprocess reproduces the
+    image-mode items (same masks via per-filename seeding)."""
+    from im2im_uq_tpu.data.fastmri import FastMRIDataset, write_synthetic_volume
+    from im2im_uq_tpu.data.normalize import normalize_dataset
+    from im2im_uq_tpu.utils.random import fix_randomness
+
+    fix_randomness(0)
+    for i in range(2):
+        write_synthetic_volume(str(tmp_path / f"vol{i}.h5"), num_slices=4,
+                               enc_shape=(40, 32), recon_shape=(24, 24), seed=i)
+    ds = FastMRIDataset(
+        str(tmp_path), normalize_input="standard", normalize_output="min-max",
+        mask_info={"type": "equispaced", "center_fraction": [0.08], "acceleration": [4]},
+    )
+    ds = normalize_dataset(ds)  # attaches norm_params (image mode)
+    ds.transform.use_seed = True  # deterministic per-filename masks for parity
+    x_img, y_img = ds[0]
+    ds.return_kspace = True
+    k, y_k = ds[0]
+    assert k.shape == (40, 32, 2) and k.dtype == np.float32
+    np.testing.assert_allclose(y_k, y_img, rtol=1e-6, atol=1e-7)
+    pre = ds.device_preprocess((24, 24))
+    x_dev = np.asarray(jax.jit(pre)(jnp.asarray(k[None])))[0]
+    np.testing.assert_allclose(x_dev, x_img, rtol=2e-4, atol=1e-5)
