@@ -158,6 +158,7 @@ def train_net(
     logger: Optional[MetricsLogger] = None,
     seed: int = 0,
     validation_hook: Optional[Callable] = None,
+    preprocess: Optional[Callable] = None,
 ) -> UQState:
     """Train the wrapped model; returns the UQState with trained variables.
 
@@ -198,9 +199,13 @@ def train_net(
     state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
     if mesh is not None:
         state = mesh_lib.replicate_tree(mesh, state)
-    train_step = make_train_step(uq_state.model, loss_pe, config, tx, mesh)
+    train_step = make_train_step(
+        uq_state.model, loss_pe, config, tx, mesh, preprocess=preprocess
+    )
     # one compiled eval program reused across every validation epoch
-    eval_step = make_eval_loss_step(uq_state.model, loss_pe, config, mesh)
+    eval_step = make_eval_loss_step(
+        uq_state.model, loss_pe, config, mesh, preprocess=preprocess
+    )
 
     global_step = int(state.step)
     for epoch in range(starting_epoch, epochs):
