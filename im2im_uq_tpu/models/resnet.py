@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from im2im_uq_tpu.models.unet import conv_kernel_init
+from im2im_uq_tpu.models.unet import TorchBatchNorm, conv_kernel_init
 from im2im_uq_tpu.ops.resize import resize_bilinear_align_corners
 
 __all__ = ["ResNet18"]
@@ -31,7 +31,7 @@ class _BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
         conv = lambda f, k, s, name: nn.Conv(
@@ -64,8 +64,8 @@ class ResNet18(nn.Module):
             kernel_init=conv_kernel_init, dtype=self.dtype, name="stem",
         )(x)
         y = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         name="stem_bn")(y)
+            TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                           name="stem_bn")(y)
         )
         for i, (features, strides) in enumerate(
             [(64, 1), (64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2), (512, 1)]

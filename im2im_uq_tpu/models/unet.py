@@ -23,7 +23,94 @@ from flax import linen as nn
 
 from im2im_uq_tpu.ops.resize import upsample2x_align_corners
 
-__all__ = ["UNet", "WNet", "DoubleConv", "Down", "Up", "conv_kernel_init"]
+__all__ = [
+    "UNet",
+    "WNet",
+    "DoubleConv",
+    "Down",
+    "Up",
+    "TorchBatchNorm",
+    "conv_kernel_init",
+]
+
+
+class TorchBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's UNBIASED running-variance update.
+
+    torch.nn.BatchNorm2d normalizes with the biased batch variance but
+    stores the Bessel-corrected (n/(n−1)) variance in ``running_var``
+    (reference models train with torch defaults, unet_parts.py:13-24);
+    flax stores the biased one — a small but real eval-mode divergence
+    after training. Only the running-stat update differs from the parent
+    (uses flax's private normalization helpers; pinned-env acceptable).
+    Under GSPMD jit, ``x.shape`` is the global shape, so n counts the full
+    cross-device batch — matching the sync-BN statistics.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen import normalization as _nrm
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _nrm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+        stat_dtype = (
+            jnp.float32 if self.force_float32_reductions else self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, stat_dtype), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, stat_dtype), feature_shape
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            if not self.force_float32_reductions:
+                mean = jnp.asarray(mean, self.param_dtype)
+                var = jnp.asarray(var, self.param_dtype)
+        else:
+            mean, var = _nrm._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                bessel = n / (n - 1) if n > 1 else 1.0
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var * bessel
+                )
+
+        return _nrm._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
 
 
 def conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -91,7 +178,7 @@ class DoubleConv(nn.Module):
         mid = self.mid_features if self.mid_features is not None else self.features
         for i, feats in enumerate((mid, self.features)):
             x = conv3x3(feats, x.shape[-1], dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

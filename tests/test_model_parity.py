@@ -41,21 +41,28 @@ PARAMS = {
 }
 
 
+def _np(t):
+    # copy! .numpy() is a VIEW of torch's storage and jax:cpu aliases numpy
+    # buffers zero-copy — without the copy, torch optimizer steps mutate the
+    # "ported" jax params in place mid-test
+    return np.array(t.detach().numpy(), copy=True)
+
+
 def _conv_to_flax(torch_conv):
     return {
-        "kernel": jnp.asarray(torch_conv.weight.detach().numpy().transpose(2, 3, 1, 0)),
-        "bias": jnp.asarray(torch_conv.bias.detach().numpy()),
+        "kernel": jnp.asarray(_np(torch_conv.weight).transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(_np(torch_conv.bias)),
     }
 
 
 def _bn_to_flax(torch_bn):
     params = {
-        "scale": jnp.asarray(torch_bn.weight.detach().numpy()),
-        "bias": jnp.asarray(torch_bn.bias.detach().numpy()),
+        "scale": jnp.asarray(_np(torch_bn.weight)),
+        "bias": jnp.asarray(_np(torch_bn.bias)),
     }
     stats = {
-        "mean": jnp.asarray(torch_bn.running_mean.detach().numpy()),
-        "var": jnp.asarray(torch_bn.running_var.detach().numpy()),
+        "mean": jnp.asarray(_np(torch_bn.running_mean)),
+        "var": jnp.asarray(_np(torch_bn.running_var)),
     }
     return params, stats
 
@@ -168,3 +175,80 @@ def test_nested_sets_parity(ported):
         np.testing.assert_allclose(
             got_np / scale, ref_np / scale, rtol=0, atol=5e-5
         )
+
+
+def test_training_trajectory_parity(ported):
+    """3 Adam steps from identical weights: per-step losses and the
+    post-training EVAL forward (exercising the Bessel-corrected running
+    stats) must track torch within fp32 drift."""
+    import optax
+
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    torch.manual_seed(0)
+    ref_trunk = RefUNet(1, 1)
+    ref_model = ref_add_uncertainty(ref_trunk, dict(PARAMS, device="cpu"))
+
+    state = add_uncertainty(
+        build_trunk({"model": "UNet", **PARAMS}),
+        PARAMS,
+        rng=jax.random.key(0),
+        example_input=jnp.zeros((1, 32, 32, 1)),
+    )
+    params, stats = _port_reference_weights(ref_model)
+    state = state.replace(variables={"params": params, "batch_stats": stats})
+
+    lr = 1e-3
+    opt = torch.optim.Adam(ref_model.parameters(), lr=lr)
+    tx = optax.adam(lr)
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables["batch_stats"],
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_train_step(state.model, head_loss_pe_fn("quantiles"), PARAMS, tx)
+
+    rng = np.random.RandomState(3)
+    ref_model.train()
+    for i in range(3):
+        x = rng.randn(2, 32, 32, 1).astype(np.float32)
+        y = rng.rand(2, 32, 32, 1).astype(np.float32)
+        ref_loss = ref_model.loss_fn(
+            ref_model(torch.tensor(np.moveaxis(x, -1, 1))),
+            torch.tensor(np.moveaxis(y, -1, 1)),
+        )
+        opt.zero_grad()
+        ref_loss.backward()
+        opt.step()
+        ts, loss = step(ts, x, y, np.ones((2,), np.float32))
+        # fp32 drift compounds through Adam updates — grow the tolerance
+        # with step index (semantic bugs show up orders of magnitude larger)
+        assert float(loss) == pytest.approx(float(ref_loss), rel=3e-4 * 4**i), f"step {i}"
+
+    # BN running stats must track torch closely (pins the Bessel-corrected
+    # running-variance update through real training)
+    t_bn = ref_model.baseModel.inc.double_conv[1]
+    o_bn = ts.batch_stats["trunk"]["inc"]["bn0"]
+    np.testing.assert_allclose(
+        np.asarray(o_bn["var"]), t_bn.running_var.detach().numpy(), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_bn["mean"]), t_bn.running_mean.detach().numpy(),
+        rtol=1e-2, atol=1e-3,
+    )
+    # post-training EVAL forward: pointwise equality is not meaningful after
+    # Adam sign-normalizes fp-level gradient noise (params drift ~lr per
+    # coordinate); require RMS-level agreement instead
+    ref_model.eval()
+    x = rng.randn(2, 32, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.tensor(np.moveaxis(x, -1, 1))).numpy()[:, :, 0]
+    trained = state.replace(
+        variables={"params": ts.params, "batch_stats": ts.batch_stats}
+    )
+    got = np.asarray(trained.apply(jnp.asarray(x)))[..., 0]
+    scale = np.abs(ref_out).std() + 1e-12
+    rms = float(np.sqrt(np.mean((got - ref_out) ** 2))) / scale
+    assert rms < 5e-2, f"post-training eval forward RMS divergence {rms}"

@@ -207,3 +207,31 @@ def test_resize_backward_is_gather_only():
 
     hlo = jax.jit(jax.grad(f)).lower(jnp.zeros((2, 8, 8, 4))).compile().as_text()
     assert "scatter(" not in hlo, "resize backward reintroduced a scatter"
+
+
+def test_torch_batchnorm_running_stats_match_torch():
+    """TorchBatchNorm stores the Bessel-corrected running variance (torch
+    semantics); flax's stock BatchNorm stores the biased one."""
+    import torch
+
+    from im2im_uq_tpu.models.unet import TorchBatchNorm
+
+    x = np.random.RandomState(0).randn(4, 8, 8, 3).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    tbn.train()
+    out_t = tbn(torch.tensor(np.moveaxis(x, -1, 1)))
+    fbn = TorchBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vs = fbn.init(jax.random.key(0), jnp.asarray(x))
+    out_f, upd = fbn.apply(vs, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.moveaxis(out_t.detach().numpy(), 1, -1), np.asarray(out_f),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["var"]), tbn.running_var.detach().numpy(),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["mean"]), tbn.running_mean.detach().numpy(),
+        rtol=1e-6, atol=1e-7,
+    )
