@@ -79,9 +79,8 @@ def _double_conv_to_flax(ref_dc):
     return params, stats
 
 
-def _port_reference_weights(ref_model):
-    """reference ModelWithUncertainty → (params, batch_stats) flax trees."""
-    trunk = ref_model.baseModel
+def _port_reference_trunk(trunk):
+    """reference UNet trunk → (params, batch_stats) flax subtrees."""
     params, stats = {}, {}
 
     def put(name, pair):
@@ -99,7 +98,12 @@ def _port_reference_weights(ref_model):
         params[f"up{i}"] = {"conv": p}
         stats[f"up{i}"] = {"conv": s}
     params["out"] = _conv_to_flax(trunk.out.conv)
+    return params, stats
 
+
+def _port_reference_weights(ref_model):
+    """reference ModelWithUncertainty (quantile head) → flax trees."""
+    params, stats = _port_reference_trunk(ref_model.baseModel)
     head = ref_model.last_layer  # quantile head: lower/prediction/upper convs
     head_params = {
         "lower": _conv_to_flax(head.lower),
@@ -252,3 +256,50 @@ def test_training_trajectory_parity(ported):
     scale = np.abs(ref_out).std() + 1e-12
     rms = float(np.sqrt(np.mean((got - ref_out) ** 2))) / scale
     assert rms < 5e-2, f"post-training eval forward RMS divergence {rms}"
+
+
+@pytest.mark.parametrize("utype", ["gaussian", "softmax"])
+def test_other_heads_nested_sets_parity(utype):
+    """Ported-weight parity for the gaussian/softmax heads, compared at the
+    nested-sets surface (covers head wiring + set algebra jointly)."""
+    params_cfg = dict(PARAMS, uncertainty_type=utype, num_softmax=8, device="cpu")
+    torch.manual_seed(0)
+    ref_model = ref_add_uncertainty(RefUNet(1, 1), params_cfg)
+    ref_model.eval()
+
+    ours_cfg = {k: v for k, v in params_cfg.items() if k != "device"}
+    state = add_uncertainty(
+        build_trunk({"model": "UNet", **ours_cfg}),
+        ours_cfg,
+        rng=jax.random.key(0),
+        example_input=jnp.zeros((1, 32, 32, 1)),
+    )
+    trunk_params, trunk_stats = _port_reference_trunk(ref_model.baseModel)
+    head = ref_model.last_layer
+    if utype == "gaussian":
+        head_params = {
+            "mean": _conv_to_flax(head.mean),
+            "variance": _conv_to_flax(head.variance),
+        }
+    else:
+        head_params = {
+            f"out{i}": _conv_to_flax(layer) for i, layer in enumerate(head.output_layers)
+        }
+    state = state.replace(
+        variables={
+            "params": {"trunk": trunk_params, "head": head_params},
+            "batch_stats": {"trunk": trunk_stats},
+        }
+    )
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 32, 32, 1).astype(np.float32)
+    lam = 0.8 if utype == "softmax" else 1.5
+    with torch.no_grad():
+        ref_sets = ref_model.nested_sets((torch.tensor(np.moveaxis(x, -1, 1)),), lam)
+    lo, pred, hi = state.nested_sets(jnp.asarray(x), lam=lam)
+    for ref_t, got in ((ref_sets[0], lo), (ref_sets[2], hi)):
+        ref_np = ref_t.numpy()
+        got_np = np.moveaxis(np.asarray(got), -1, 1)
+        scale = np.abs(ref_np).std() + 1e-12
+        np.testing.assert_allclose(got_np / scale, ref_np / scale, rtol=0, atol=1e-4)
