@@ -161,7 +161,7 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
     import jax
     import jax.numpy as jnp
 
-    x0, _ = train_ds[0] if hasattr(train_ds, "__getitem__") else next(iter(train_ds))
+    x0, y0 = train_ds[0] if hasattr(train_ds, "__getitem__") else next(iter(train_ds))
     trunk = build_trunk(config)
     state = add_uncertainty(
         trunk,
@@ -170,10 +170,35 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
         example_input=jnp.asarray(x0)[None],
     )
 
+    # on_device_transform (fastmri): train on raw k-space with the physics
+    # (mask already applied host-side; IFFT/crop/magnitude/normalization)
+    # fused into the train/val step programs (ops/mri_pipeline.py). The
+    # loader then ships k-space bytes and the device never waits on host
+    # FFTs. Calibration/eval below run in image mode — statistically
+    # identical, since the transform draws a fresh mask per access either
+    # way (use_seed=False, reference FastMRIDataset.py:88).
+    preprocess = None
+    use_device_transform = bool(config.get("on_device_transform")) and hasattr(
+        dataset, "device_preprocess"
+    )
+    if use_device_transform:
+        crop = (np.asarray(y0).shape[0], np.asarray(y0).shape[1])
+        preprocess = dataset.device_preprocess(crop)
+        dataset.return_kspace = True  # train/val Subsets delegate to this
+
+    def _image_mode():
+        if use_device_transform:
+            dataset.return_kspace = False
+
+    def _kspace_mode():
+        if use_device_transform:
+            dataset.return_kspace = True
+
     def validation_hook(current_state, epoch, global_step):
         # per-validation image panels (reference run_validation, train.py:29-58);
         # failures must not kill training (reference wraps in try/except too)
         try:
+            _image_mode()  # panels render image-domain inputs
             panels = get_images(
                 current_state,
                 val_ds,
@@ -184,6 +209,8 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
                 logger.log_images(tag, imgs, step=epoch)
         except Exception as e:
             print(f"Failed logging images. ({e})")
+        finally:
+            _kspace_mode()
 
     state = train_net(
         state,
@@ -200,7 +227,9 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
         config=config,
         logger=logger,
         validation_hook=validation_hook,
+        preprocess=preprocess,
     )
+    _image_mode()  # calibration/eval/artifacts run on image-domain items
     print("Done training!")
 
     print("Get the validation loss table.")

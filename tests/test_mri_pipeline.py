@@ -140,3 +140,41 @@ def test_fastmri_dataset_kspace_mode_matches_image_mode(tmp_path):
     pre = ds.device_preprocess((24, 24))
     x_dev = np.asarray(jax.jit(pre)(jnp.asarray(k[None])))[0]
     np.testing.assert_allclose(x_dev, x_img, rtol=2e-4, atol=1e-5)
+
+
+def test_router_on_device_transform_end_to_end(tmp_path):
+    """Full router run with on_device_transform: training consumes raw
+    k-space (physics fused into the step), calibration/eval/image panels run
+    in image mode, artifacts land with the normal contract."""
+    import pickle
+
+    from im2im_uq_tpu.data.fastmri import write_synthetic_volume
+    from im2im_uq_tpu.scripts.router import results_filename, run_experiment
+
+    data = tmp_path / "vols"
+    data.mkdir()
+    for i in range(2):
+        write_synthetic_volume(str(data / f"v{i}.h5"), num_slices=8,
+                               enc_shape=(40, 32), recon_shape=(24, 24), seed=i)
+    config = {
+        "dataset": "fastmri", "data_path": str(data), "model": "UNet",
+        "uncertainty_type": "quantiles", "num_inputs": 1,
+        "data_split_percentages": [0.5, 0.25, 0.25, 0.0],
+        "alpha": 0.5, "delta": 0.5, "num_lambdas": 20,
+        "minimum_lambda": 0.0, "maximum_lambda": 6.0,
+        "rcps_loss": "fraction_missed", "epochs": 1, "batch_size": 8,
+        "lr": 1e-3, "checkpoint_every": 5, "validate_every": 1,
+        "num_validation_images": 1, "q_lo": 0.05, "q_hi": 0.95,
+        "q_lo_weight": 1.0, "q_hi_weight": 1.0, "mse_weight": 1.0,
+        "input_normalization": "standard", "output_normalization": "min-max",
+        "output_dir": str(tmp_path / "out"), "seed": 0,
+        "on_device_transform": True,
+        "mask_info": {"type": "equispaced", "center_fraction": [0.08],
+                      "acceleration": [4]},
+    }
+    results = run_experiment(config)
+    assert results is not None and np.isfinite(results["risk"])
+    assert results["lhat"] is not None
+    with open(results_filename(config), "rb") as fh:
+        saved = pickle.load(fh)
+    assert saved["risk"] == results["risk"]
