@@ -35,15 +35,13 @@ NUM_LAMBDAS = 1000
 
 
 def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
-    """Sum of TPU-lane op durations per step from a short profiler trace."""
-    import glob
-    import gzip
-    import re
+    """On-chip busy ms per train step from a short profiler trace."""
     import tempfile
 
     import jax
-
     import jax.numpy as jnp
+
+    from im2im_uq_tpu.utils.profiling import device_busy_breakdown
 
     try:
         # the train step donates its state argument — run on a private copy
@@ -54,28 +52,8 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
                 for _ in range(steps):
                     ts, loss = step(ts, x, y, mask)
                 jax.block_until_ready(loss)
-            files = sorted(glob.glob(td + "/**/*.trace.json.gz", recursive=True))
-            if not files:
-                return None
-            with gzip.open(files[-1]) as fh:
-                tr = json.load(fh)
-        ev = tr["traceEvents"]
-        lanes = {
-            e["pid"]: e["args"].get("name", "")
-            for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
-        }
-        total = 0.0
-        for e in ev:
-            if e.get("ph") != "X" or "dur" not in e:
-                continue
-            if "TPU" not in lanes.get(e.get("pid"), ""):
-                continue
-            n = e["name"]
-            if n.startswith("jit_") or re.fullmatch(r"\d+", n):
-                continue  # container rows double-count their children
-            total += e["dur"]
-        return round(total / steps / 1e3, 2)
+            breakdown = device_busy_breakdown(td, steps=steps)
+        return breakdown["total_ms"] if breakdown else None
     except Exception:
         return None  # profiling is best-effort (not supported on all backends)
 

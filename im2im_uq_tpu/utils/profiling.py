@@ -3,16 +3,19 @@
 The reference has no tracing or profiling at all (SURVEY.md §5: tqdm bars
 and prints only). TPU-native equivalent: ``trace()`` captures a TensorBoard-
 loadable device trace; ``time_fn`` measures steady-state step time with
-proper ``block_until_ready`` fencing and warmup.
+proper ``block_until_ready`` fencing and warmup; ``device_busy_breakdown``
+turns a captured trace into per-op-category on-chip busy time — the
+load-independent metric this repo's perf work is measured with (the
+tunneled chip's wall clock swings ~50x with host load, see STATUS.md).
 """
 
 from __future__ import annotations
 
 import contextlib
 import time
-from typing import Callable
+from typing import Callable, Optional
 
-__all__ = ["trace", "time_fn"]
+__all__ = ["trace", "time_fn", "device_busy_breakdown", "measure_device_busy"]
 
 
 @contextlib.contextmanager
@@ -59,3 +62,81 @@ def time_fn(
         "mean_sec_per_call": sum(samples) / len(samples),
         "compile_sec": compile_sec,
     }
+
+
+def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
+    """Per-category on-chip busy ms/step from a jax.profiler trace directory.
+
+    Sums TPU-lane op durations (skipping container rows that double-count
+    children) and buckets them: convolution, reduction, while/dynamic-slice
+    (the serialized-scatter signature), gather, copy, fusion, other.
+    Returns {'total_ms', 'categories': {...}} or None if no trace found.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+
+    files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True))
+    if not files:
+        return None
+    with gzip.open(files[-1]) as fh:
+        tr = json.load(fh)
+    ev = tr.get("traceEvents", [])
+    lanes = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    cat = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if "TPU" not in lanes.get(e.get("pid"), ""):
+            continue
+        n = e["name"]
+        if n.startswith("jit_") or re.fullmatch(r"\d+", n):
+            continue
+        base = re.sub(r"[.\d]+$", "", n)
+        if "conv" in base:
+            k = "convolution"
+        elif "while" in base or "dynamic-update-slice" in base or "dynamic-slice" in base:
+            k = "while/dynamic-slice"
+        elif "select_and_scatter" in base:
+            k = "maxpool-bwd"
+        elif "reduce" in base:
+            k = "reduction"
+        elif "gather" in base:
+            k = "gather"
+        elif "copy" in base:
+            k = "copy"
+        elif "fusion" in base or "bitcast" in base:
+            k = "fusion"
+        else:
+            k = "other"
+        cat[k] += e["dur"]
+    total = sum(cat.values())
+    return {
+        "total_ms": round(total / steps / 1e3, 2),
+        "categories": {k: round(v / steps / 1e3, 2) for k, v in cat.most_common()},
+    }
+
+
+def measure_device_busy(fn: Callable, *args, steps: int = 3) -> Optional[dict]:
+    """Run ``fn(*args)`` ``steps`` times under a profiler trace and return
+    its device-busy breakdown (see device_busy_breakdown)."""
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            with trace(td):
+                out = None
+                for _ in range(steps):
+                    out = fn(*args)
+                jax.block_until_ready(out)
+            return device_busy_breakdown(td, steps=steps)
+    except Exception:
+        return None  # profiling is best-effort (not supported on all backends)
