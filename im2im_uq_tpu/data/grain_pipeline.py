@@ -17,7 +17,7 @@ import numpy as np
 
 from im2im_uq_tpu.data.core import Batch
 
-__all__ = ["grain_batches", "make_grain_dataset"]
+__all__ = ["grain_batches", "make_grain_dataset", "CheckpointableBatchIterator"]
 
 
 def make_grain_dataset(
@@ -73,3 +73,59 @@ def grain_batches(
             y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
             mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
         yield Batch((x, y, mask))
+
+
+class CheckpointableBatchIterator:
+    """Mid-epoch-resumable (x, y, mask) batch iterator over a grain pipeline.
+
+    ``get_state()`` returns a JSON-serializable dict; a NEW iterator built
+    with the same arguments continues from ``set_state(state)`` — the
+    mechanism for resuming a long epoch exactly where a preempted run
+    stopped (the msgpack/orbax checkpoints cover model state; this covers
+    the input pipeline's).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_epochs: int = 1,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        pad_final: bool = True,
+    ):
+        ds = make_grain_dataset(
+            dataset,
+            batch_size,
+            shuffle=shuffle,
+            seed=seed,
+            num_epochs=num_epochs,
+            shard_index=shard_index,
+            shard_count=shard_count,
+        )
+        self._batch_size = batch_size
+        self._pad_final = pad_final
+        self._it = iter(ds.to_iter_dataset())
+
+    def get_state(self) -> dict:
+        return self._it.get_state()
+
+    def set_state(self, state: dict) -> None:
+        self._it.set_state(state)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        xb, yb = next(self._it)
+        x, y = np.asarray(xb), np.asarray(yb)
+        mask = np.ones((x.shape[0],), np.float32)
+        if self._pad_final and x.shape[0] < self._batch_size:
+            pad = self._batch_size - x.shape[0]
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+        return Batch((x, y, mask))
