@@ -20,6 +20,28 @@ from im2im_uq_tpu.data.core import Batch
 __all__ = ["grain_batches", "make_grain_dataset", "CheckpointableBatchIterator"]
 
 
+def _pad_batch(xb, yb, batch_size: int, pad_mode: str) -> Batch:
+    """Pad a ragged final batch to ``batch_size`` with a validity mask.
+
+    Same contract as data.core.iterate_batches: ``zeros`` pads with zero
+    examples (eval), ``wrap`` repeats real examples so train-mode BatchNorm
+    statistics stay on real data; the mask excludes padding either way.
+    """
+    x, y = np.asarray(xb), np.asarray(yb)
+    mask = np.ones((x.shape[0],), np.float32)
+    if x.shape[0] < batch_size:
+        pad = batch_size - x.shape[0]
+        if pad_mode == "wrap":
+            sel = np.arange(pad) % x.shape[0]
+            x = np.concatenate([x, x[sel]])
+            y = np.concatenate([y, y[sel]])
+        else:
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
+        mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+    return Batch((x, y, mask))
+
+
 def make_grain_dataset(
     dataset,
     batch_size: int,
@@ -52,6 +74,7 @@ def grain_batches(
     shard_index: int = 0,
     shard_count: int = 1,
     pad_final: bool = True,
+    pad_mode: str = "zeros",
     read_options: Optional[object] = None,
 ) -> Iterator[Batch]:
     """Yield (x, y, mask) batches through grain, padded to fixed shapes."""
@@ -65,14 +88,11 @@ def grain_batches(
     )
     it = ds.to_iter_dataset(read_options=read_options) if read_options else ds
     for xb, yb in it:
-        x, y = np.asarray(xb), np.asarray(yb)
-        mask = np.ones((x.shape[0],), np.float32)
-        if pad_final and x.shape[0] < batch_size:
-            pad = batch_size - x.shape[0]
-            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
-            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
-            mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
-        yield Batch((x, y, mask))
+        if pad_final:
+            yield _pad_batch(xb, yb, batch_size, pad_mode)
+        else:
+            x, y = np.asarray(xb), np.asarray(yb)
+            yield Batch((x, y, np.ones((x.shape[0],), np.float32)))
 
 
 class CheckpointableBatchIterator:
@@ -96,6 +116,7 @@ class CheckpointableBatchIterator:
         shard_index: int = 0,
         shard_count: int = 1,
         pad_final: bool = True,
+        pad_mode: str = "zeros",
     ):
         ds = make_grain_dataset(
             dataset,
@@ -108,6 +129,7 @@ class CheckpointableBatchIterator:
         )
         self._batch_size = batch_size
         self._pad_final = pad_final
+        self._pad_mode = pad_mode
         self._it = iter(ds.to_iter_dataset())
 
     def get_state(self) -> dict:
@@ -121,11 +143,7 @@ class CheckpointableBatchIterator:
 
     def __next__(self) -> Batch:
         xb, yb = next(self._it)
+        if self._pad_final:
+            return _pad_batch(xb, yb, self._batch_size, self._pad_mode)
         x, y = np.asarray(xb), np.asarray(yb)
-        mask = np.ones((x.shape[0],), np.float32)
-        if self._pad_final and x.shape[0] < self._batch_size:
-            pad = self._batch_size - x.shape[0]
-            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
-            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
-            mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
-        return Batch((x, y, mask))
+        return Batch((x, y, np.ones((x.shape[0],), np.float32)))

@@ -40,6 +40,9 @@ __all__ = [
     "restore_checkpoint",
     "find_resume_checkpoint",
     "wait_for_async_saves",
+    "midepoch_checkpoint_path",
+    "save_midepoch_checkpoint",
+    "restore_midepoch_checkpoint",
 ]
 
 
@@ -198,6 +201,77 @@ def restore_checkpoint(path: str, train_state) -> tuple[Any, Optional[float], in
     )
     lhat = float(restored["lhat"])
     return new_state, (None if math.isnan(lhat) else lhat), int(restored["epoch"])
+
+
+def midepoch_checkpoint_path(checkpoint_dir: str, config: dict) -> str:
+    """Rolling mid-epoch checkpoint (always msgpack — carries host-side
+    input-pipeline state alongside the model tree, no sharded arrays)."""
+    return os.path.join(
+        checkpoint_dir, f"CP_midepoch_{checkpoint_key(config)}.msgpack"
+    )
+
+
+def save_midepoch_checkpoint(
+    path: str,
+    train_state,
+    lhat: Optional[float],
+    epoch: int,
+    data_state: dict,
+    progress: dict,
+) -> None:
+    """Write a mid-epoch checkpoint: model tree + input-pipeline state.
+
+    ``data_state`` is the grain iterator's JSON-serializable ``get_state()``
+    dict; ``progress`` carries the epoch-loss accounting accumulated so far
+    (sum_loss, num_examples, steps) so a resumed epoch reports the same
+    train_loss it would have uninterrupted. The reference has no mid-epoch
+    resume at all (its resume granularity is whole epochs,
+    core/scripts/train.py:80-98); this is the preemption-safe extension.
+    """
+    import json
+
+    tree = _pack(train_state, lhat, epoch)
+    tree["data_state"] = np.frombuffer(
+        json.dumps(data_state).encode(), dtype=np.uint8
+    ).copy()
+    tree["progress"] = np.frombuffer(
+        json.dumps(progress).encode(), dtype=np.uint8
+    ).copy()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = serialization.to_bytes(tree)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
+def restore_midepoch_checkpoint(
+    path: str, train_state
+) -> tuple[Any, Optional[float], int, dict, dict]:
+    """Restore a mid-epoch checkpoint → (state, lhat, epoch, data_state, progress)."""
+    import json
+
+    target = _pack(train_state, None, 0)
+    target["data_state"] = np.zeros((0,), np.uint8)
+    target["progress"] = np.zeros((0,), np.uint8)
+    with open(path, "rb") as fh:
+        restored = serialization.from_bytes(target, fh.read())
+    new_state = train_state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"]),
+    )
+    lhat = float(restored["lhat"])
+    data_state = json.loads(np.asarray(restored["data_state"]).tobytes().decode())
+    progress = json.loads(np.asarray(restored["progress"]).tobytes().decode())
+    return (
+        new_state,
+        (None if math.isnan(lhat) else lhat),
+        int(restored["epoch"]),
+        data_state,
+        progress,
+    )
 
 
 def find_resume_checkpoint(

@@ -19,6 +19,7 @@ validation and checkpointing, resume-by-scanning-epochs), rebuilt TPU-first:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -172,6 +173,13 @@ def train_net(
     loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
     tx = optax.adam(lr)
 
+    # optional grain pipeline: deterministic per-epoch order + mid-epoch
+    # resumable iterator state (config: input_pipeline: grain,
+    # checkpoint_every_steps: N). Beyond-reference — the reference resumes
+    # at whole-epoch granularity only (train.py:80-98).
+    use_grain = config.get("input_pipeline", "threaded") == "grain"
+    ckpt_steps = config.get("checkpoint_every_steps")
+
     state = TrainState(
         params=uq_state.variables["params"],
         batch_stats=uq_state.variables.get("batch_stats", {}),
@@ -193,6 +201,22 @@ def train_net(
                     lhat=lhat,
                 )
 
+    # mid-epoch checkpoint (grain pipeline only): resume INSIDE a preempted
+    # epoch from the saved iterator state if it is further along than the
+    # newest whole-epoch checkpoint
+    resume_data_state = resume_progress = None
+    if load_from_checkpoint and checkpoint_dir and use_grain:
+        mp = ckpt.midepoch_checkpoint_path(checkpoint_dir, config)
+        if os.path.exists(mp):
+            st, lh, ep, dstate, progress = ckpt.restore_midepoch_checkpoint(mp, state)
+            if starting_epoch <= ep < epochs:
+                state, lhat, starting_epoch = st, lh, ep
+                resume_data_state, resume_progress = dstate, progress
+                print(
+                    f"Resumed mid-epoch from {mp} "
+                    f"(epoch {ep}, step {progress.get('steps', '?')})."
+                )
+
     # copy the state buffers: train_step donates its input, and without a
     # copy the donated arrays alias the caller's uq_state.variables (using
     # the original UQState afterwards would raise "Array has been deleted")
@@ -209,17 +233,59 @@ def train_net(
 
     global_step = int(state.step)
     for epoch in range(starting_epoch, epochs):
-        rng = np.random.RandomState(seed + 1000 * epoch + 1)
-        epoch_loss, num_examples = 0.0, 0
+        epoch_seed = seed + 1000 * epoch + 1
+        if use_grain:
+            from im2im_uq_tpu.data.grain_pipeline import CheckpointableBatchIterator
+
+            batches = CheckpointableBatchIterator(
+                train_dataset, batch_size,
+                shuffle=True, seed=epoch_seed, pad_mode="wrap",
+            )
+            if resume_data_state is not None:
+                batches.set_state(resume_data_state)
+        else:
+            batches = iterate_batches(
+                train_dataset, batch_size,
+                shuffle=True, rng=np.random.RandomState(epoch_seed), pad_mode="wrap",
+            )
+        carried_loss, num_examples, steps_in_epoch = 0.0, 0, 0
+        if resume_progress is not None:
+            carried_loss = float(resume_progress.get("sum_loss", 0.0))
+            num_examples = int(resume_progress.get("num_examples", 0))
+            steps_in_epoch = int(resume_progress.get("steps", 0))
+        resume_data_state = resume_progress = None
         losses = []
-        for x, y, mask in iterate_batches(
-            train_dataset, batch_size, shuffle=True, rng=rng, pad_mode="wrap"
-        ):
+        for x, y, mask in batches:
             state, loss = train_step(state, x, y, mask)
             losses.append(loss)  # device scalar; fetched at epoch end
             num_examples += int(mask.sum())
             global_step += 1
-        epoch_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            steps_in_epoch += 1
+            if (
+                use_grain
+                and ckpt_steps
+                and checkpoint_dir
+                and steps_in_epoch % int(ckpt_steps) == 0
+            ):
+                # fold the pending device scalars into the carried sum so
+                # the checkpointed accounting is self-contained
+                carried_loss += float(jnp.sum(jnp.stack(losses)))
+                losses = []
+                ckpt.save_midepoch_checkpoint(
+                    ckpt.midepoch_checkpoint_path(checkpoint_dir, config),
+                    jax.device_get(state),
+                    lhat,
+                    epoch,
+                    batches.get_state(),
+                    {
+                        "sum_loss": carried_loss,
+                        "num_examples": num_examples,
+                        "steps": steps_in_epoch,
+                    },
+                )
+        epoch_loss = carried_loss + (
+            float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        )
         logger.log(
             {"epoch": epoch, "iter": global_step, "train_loss": epoch_loss / max(num_examples, 1)}
         )
