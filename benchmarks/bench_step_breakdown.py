@@ -1,0 +1,99 @@
+"""Per-op device-busy breakdown of the flagship train step.
+
+Traces a few steps of UNet+quantiles training at FastMRI geometry and
+prints the top ops by on-chip busy time (load-independent — see
+utils/profiling.py). Use to decide where the next kernel/fusion work goes.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_step_breakdown.py [fp32|bfloat16] [batch]
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+import tempfile
+
+import numpy as np
+
+
+def top_ops(trace_dir: str, steps: int, k: int = 25):
+    files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True))
+    if not files:
+        return None, None
+    with gzip.open(files[-1]) as fh:
+        tr = json.load(fh)
+    ev = tr.get("traceEvents", [])
+    lanes = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    ops = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if "TPU" not in lanes.get(e.get("pid"), ""):
+            continue
+        n = e["name"]
+        if n.startswith("jit_") or re.fullmatch(r"\d+", n):
+            continue
+        ops[n] += e["dur"]
+    total = sum(ops.values())
+    return total / steps / 1e3, [(n, d / steps / 1e3) for n, d in ops.most_common(k)]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    sys.path.insert(0, "/root/repo")
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+    from im2im_uq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    cfg = {
+        "model": "UNet", "uncertainty_type": "quantiles",
+        "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
+        "mse_weight": 1.0, "compute_dtype": dtype,
+    }
+    x0 = jnp.zeros((1, 320, 320, 1), jnp.float32)
+    st = add_uncertainty(build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=x0)
+    tx = optax.adam(1e-3)
+    ts = TrainState(
+        params=st.variables["params"],
+        batch_stats=st.variables["batch_stats"],
+        opt_state=tx.init(st.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_train_step(st.model, head_loss_pe_fn("quantiles"), cfg, tx)
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, 320, 320, 1).astype(np.float32)
+    y = rng.randn(batch, 320, 320, 1).astype(np.float32)
+    mask = np.ones((batch,), np.float32)
+    ts, loss = step(ts, x, y, mask)  # compile
+    jax.block_until_ready(loss)
+
+    steps = 3
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        for _ in range(steps):
+            ts, loss = step(ts, x, y, mask)
+        jax.block_until_ready(loss)
+        jax.profiler.stop_trace()
+        total, ops = top_ops(td, steps)
+    print(f"dtype={dtype} batch={batch} total device-busy {total:.1f} ms/step")
+    for name, ms in ops:
+        print(f"  {ms:8.2f} ms  {name}")
+
+
+if __name__ == "__main__":
+    main()

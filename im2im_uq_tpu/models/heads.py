@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from im2im_uq_tpu.models.unet import conv3x3
+from im2im_uq_tpu.models.unet import Conv3x3Params as _Conv3x3Params
+from im2im_uq_tpu.models.unet import conv3x3_apply
 from im2im_uq_tpu.ops import losses as L
 
 __all__ = [
@@ -43,6 +44,20 @@ def _nhwc_to_component(ys: list[jax.Array]) -> jax.Array:
     return jnp.stack(ys, axis=1)
 
 
+def _fused_conv3x3(x: jax.Array, params: list, dtype: Any) -> jax.Array:
+    """One conv3x3 evaluating several same-input convs at once.
+
+    The K sibling head convs all read the same (B, H, W, 32) trunk feature
+    map — HBM-bound passes. Concatenating their (tiny) kernels/biases on the
+    output-channel axis computes identical per-channel dot products in ONE
+    pass over ``x``, cutting the head's feature-map traffic K×.
+    """
+    kernel = jnp.concatenate([k for k, _ in params], axis=-1)
+    bias = jnp.concatenate([b for _, b in params], axis=-1)
+    x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    return conv3x3_apply(x, kernel) + bias
+
+
 class QuantileHead(nn.Module):
     """Three conv3x3 heads: lower quantile / prediction / upper quantile.
 
@@ -55,11 +70,14 @@ class QuantileHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cin = x.shape[-1]
-        lo = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="lower")(x)
-        pred = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="prediction")(x)
-        hi = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="upper")(x)
-        return _nhwc_to_component([lo, pred, hi]).astype(jnp.float32)
+        cin, c = x.shape[-1], self.n_channels_out
+        params = [
+            _Conv3x3Params(cin, c, name=n)() for n in ("lower", "prediction", "upper")
+        ]
+        y = _fused_conv3x3(x, params, self.dtype)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 3, c).transpose(0, 3, 1, 2, 4)
+        return y.astype(jnp.float32)
 
 
 class GaussianHead(nn.Module):
@@ -70,12 +88,13 @@ class GaussianHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cin = x.shape[-1]
-        mean = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="mean")(x)
-        var = nn.relu(
-            conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="variance")(x)
-        )
-        return _nhwc_to_component([mean, var]).astype(jnp.float32)
+        cin, c = x.shape[-1], self.n_channels_out
+        params = [_Conv3x3Params(cin, c, name=n)() for n in ("mean", "variance")]
+        y = _fused_conv3x3(x, params, self.dtype)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 2, c).transpose(0, 3, 1, 2, 4)
+        y = jnp.stack([y[:, 0], nn.relu(y[:, 1])], axis=1)
+        return y.astype(jnp.float32)
 
 
 class ResidualMagnitudeHead(nn.Module):
@@ -86,12 +105,16 @@ class ResidualMagnitudeHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cin = x.shape[-1]
-        pred = conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="prediction")(x)
-        res = jnp.abs(
-            conv3x3(self.n_channels_out, cin, dtype=self.dtype, name="residual_magnitude")(x)
-        )
-        return _nhwc_to_component([pred, res]).astype(jnp.float32)
+        cin, c = x.shape[-1], self.n_channels_out
+        params = [
+            _Conv3x3Params(cin, c, name=n)()
+            for n in ("prediction", "residual_magnitude")
+        ]
+        y = _fused_conv3x3(x, params, self.dtype)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 2, c).transpose(0, 3, 1, 2, 4)
+        y = jnp.stack([y[:, 0], jnp.abs(y[:, 1])], axis=1)
+        return y.astype(jnp.float32)
 
 
 class SoftmaxHead(nn.Module):
@@ -107,15 +130,15 @@ class SoftmaxHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        cin = x.shape[-1]
-        per_channel = [
-            conv3x3(self.num_softmax, cin, dtype=self.dtype, name=f"out{c}")(x)
+        cin, s = x.shape[-1], self.num_softmax
+        params = [
+            _Conv3x3Params(cin, s, name=f"out{c}")()
             for c in range(self.n_channels_out)
         ]
-        # each (B, H, W, S) -> (B, S, H, W); stack channels last.
-        logits = jnp.stack(
-            [jnp.moveaxis(p, -1, 1) for p in per_channel], axis=-1
-        )
+        y = _fused_conv3x3(x, params, self.dtype)  # (B, H, W, C*S)
+        b, h, w, _ = y.shape
+        # channel-major concat → (B, H, W, C, S) → (B, S, H, W, C)
+        logits = y.reshape(b, h, w, self.n_channels_out, s).transpose(0, 4, 1, 2, 3)
         return logits.astype(jnp.float32)
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "Up",
     "TorchBatchNorm",
     "conv_kernel_init",
+    "max_pool2x2",
 ]
 
 
@@ -156,6 +157,58 @@ def conv1x1(features: int, in_features: int, dtype: Any = None, name: str | None
     )
 
 
+class Conv3x3Params(nn.Module):
+    """Declares a conv3x3's (kernel, bias) without running the conv.
+
+    Same scope path, param names, shapes, and init functions as the
+    ``conv3x3`` nn.Conv it stands in for — flax derives param RNG keys from
+    the scope path, so initial values and checkpoint trees are bit-identical
+    (pinned by tests). Used where the conv itself is computed manually:
+    fused multi-head convs (models/heads.py) and the skip-concat-free
+    decoder conv below.
+    """
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_kernel_init, (3, 3, self.cin, self.cout))
+        bias = self.param("bias", _TorchBiasInit(9 * self.cin), (self.cout,))
+        return kernel, bias
+
+
+def conv3x3_apply(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Plain NHWC 3×3 same-padding convolution (no bias)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def max_pool2x2(x: jax.Array) -> jax.Array:
+    """2×2/stride-2 max pool as reshape + axis-max (torch floor semantics).
+
+    Same forward values as nn.max_pool 2×2/2; the reshape is free
+    (row-major) and the backward is an elementwise eq-mask instead of
+    reduce_window's select_and_scatter. Odd trailing rows/cols are
+    dropped, matching torch.nn.MaxPool2d floor division (reference
+    unet_parts.py:33).
+
+    Measured finding (v5e, UNet bf16 batch 32 @320²): the eq-mask backward
+    is ~5 ms/step SLOWER than XLA's select_and_scatter here (the mask pass
+    re-reads the full pre-pool tensor), so Down keeps nn.max_pool; this is
+    retained as the documented probe and for odd-size-safe pooling needs.
+    """
+    b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2, :]
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
+
+
 class DoubleConv(nn.Module):
     """(conv3x3 → BN → ReLU) × 2 (reference unet_parts.py:8-25).
 
@@ -174,19 +227,40 @@ class DoubleConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
         mid = self.mid_features if self.mid_features is not None else self.features
-        for i, feats in enumerate((mid, self.features)):
-            x = conv3x3(feats, x.shape[-1], dtype=self.dtype, name=f"conv{i}")(x)
-            x = TorchBatchNorm(
+        if isinstance(x, (tuple, list)):
+            # virtual-concat input (a ‖ b): conv(concat(a,b), W) computed as
+            # conv(a, W[:cin_a]) + conv(b, W[cin_a:]) — identical math, but
+            # the (B, H, W, cin_a+cin_b) concat tensor is never materialized
+            # (nor split in backward), saving a full-res HBM round trip per
+            # decoder level. Param tree is identical to the concat path.
+            a, b = x
+            ca = a.shape[-1]
+            kernel, bias = Conv3x3Params(ca + b.shape[-1], mid, name="conv0")()
+            a, b, kernel, bias = nn.dtypes.promote_dtype(
+                a, b, kernel, bias, dtype=self.dtype
+            )
+            x = (
+                conv3x3_apply(a, kernel[:, :, :ca])
+                + conv3x3_apply(b, kernel[:, :, ca:])
+                + bias
+            )
+        else:
+            x = conv3x3(mid, x.shape[-1], dtype=self.dtype, name="conv0")(x)
+
+        def bn(i, x):
+            return TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,
                 name=f"bn{i}",
             )(x)
-            x = nn.relu(x)
-        return x
+
+        x = nn.relu(bn(0, x))
+        x = conv3x3(self.features, x.shape[-1], dtype=self.dtype, name="conv1")(x)
+        return nn.relu(bn(1, x))
 
 
 class Down(nn.Module):
@@ -233,9 +307,10 @@ class Up(nn.Module):
             x1,
             ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
         )
-        x = jnp.concatenate([x2, x1], axis=-1)
+        # virtual concat [x2, x1]: DoubleConv's split-kernel path computes
+        # conv-over-concat without materializing the concatenated tensor
         return DoubleConv(self.features, mid_features=mid, dtype=self.dtype, name="conv")(
-            x, train
+            (x2, x1), train
         )
 
 

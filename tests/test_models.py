@@ -235,3 +235,65 @@ def test_torch_batchnorm_running_stats_match_torch():
         np.asarray(upd["batch_stats"]["mean"]), tbn.running_mean.detach().numpy(),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_max_pool2x2_matches_nn_max_pool():
+    from flax import linen as nn
+
+    from im2im_uq_tpu.models.unet import max_pool2x2
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 12, 3), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(max_pool2x2(x)),
+        np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))),
+    )
+    # odd sizes: trailing row/col dropped (torch floor semantics)
+    xo = jnp.asarray(np.random.RandomState(1).randn(1, 13, 15, 2), jnp.float32)
+    assert max_pool2x2(xo).shape == (1, 6, 7, 2)
+    np.testing.assert_array_equal(
+        np.asarray(max_pool2x2(xo)),
+        np.asarray(nn.max_pool(xo, (2, 2), strides=(2, 2))),
+    )
+
+
+def test_fused_head_matches_separate_convs():
+    """The fused K-in-1 head conv computes the same values as K separate
+    nn.Conv passes with the same parameters."""
+    from flax import linen as nn
+
+    from im2im_uq_tpu.models.heads import QuantileHead
+    from im2im_uq_tpu.models.unet import conv3x3
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 32), jnp.float32)
+    head = QuantileHead(n_channels_out=1)
+    v = head.init(jax.random.key(3), x)
+    y = head.apply(v, x)
+
+    class Separate(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            ys = [
+                conv3x3(1, x.shape[-1], name=n)(x)
+                for n in ("lower", "prediction", "upper")
+            ]
+            return jnp.stack(ys, axis=1)
+
+    y_ref = Separate().apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_virtual_concat_doubleconv_matches_concat():
+    """DoubleConv's split-kernel pair path == conv over the concatenated
+    input with the same parameters."""
+    from im2im_uq_tpu.models.unet import DoubleConv
+
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.randn(2, 16, 16, 8), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 16, 16, 4), jnp.float32)
+    dc = DoubleConv(16, mid_features=8)
+    v = dc.init(jax.random.key(5), (a, b))
+    y_pair = dc.apply(v, (a, b))
+    y_cat = dc.apply(v, jnp.concatenate([a, b], axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(y_pair), np.asarray(y_cat), rtol=1e-5, atol=1e-5
+    )
