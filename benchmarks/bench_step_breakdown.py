@@ -9,41 +9,10 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_step_break
 
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
-import json
-import re
 import sys
 import tempfile
 
 import numpy as np
-
-
-def top_ops(trace_dir: str, steps: int, k: int = 25):
-    files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True))
-    if not files:
-        return None, None
-    with gzip.open(files[-1]) as fh:
-        tr = json.load(fh)
-    ev = tr.get("traceEvents", [])
-    lanes = {
-        e["pid"]: e["args"].get("name", "")
-        for e in ev
-        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
-    }
-    ops = collections.Counter()
-    for e in ev:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if "TPU" not in lanes.get(e.get("pid"), ""):
-            continue
-        n = e["name"]
-        if n.startswith("jit_") or re.fullmatch(r"\d+", n):
-            continue
-        ops[n] += e["dur"]
-    total = sum(ops.values())
-    return total / steps / 1e3, [(n, d / steps / 1e3) for n, d in ops.most_common(k)]
 
 
 def main():
@@ -56,6 +25,7 @@ def main():
     from im2im_uq_tpu.models.heads import head_loss_pe_fn
     from im2im_uq_tpu.training.train import TrainState, make_train_step
     from im2im_uq_tpu.utils.cache import enable_compilation_cache
+    from im2im_uq_tpu.utils.profiling import device_busy_ops, trace
 
     enable_compilation_cache()
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
@@ -84,14 +54,17 @@ def main():
 
     steps = 3
     with tempfile.TemporaryDirectory() as td:
-        jax.profiler.start_trace(td)
-        for _ in range(steps):
-            ts, loss = step(ts, x, y, mask)
-        jax.block_until_ready(loss)
-        jax.profiler.stop_trace()
-        total, ops = top_ops(td, steps)
-    print(f"dtype={dtype} batch={batch} total device-busy {total:.1f} ms/step")
-    for name, ms in ops:
+        with trace(td):
+            for _ in range(steps):
+                ts, loss = step(ts, x, y, mask)
+            jax.block_until_ready(loss)
+        result = device_busy_ops(td, steps=steps)
+    if result is None:
+        print(f"dtype={dtype} batch={batch}: no profiler trace captured "
+              "(backend without TPU trace support?)")
+        return
+    print(f"dtype={dtype} batch={batch} total device-busy {result['total_ms']:.1f} ms/step")
+    for name, ms in result["ops"]:
         print(f"  {ms:8.2f} ms  {name}")
 
 

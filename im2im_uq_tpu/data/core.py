@@ -21,7 +21,15 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["Subset", "random_split", "split_lengths", "Batch", "iterate_batches", "stack_examples"]
+__all__ = [
+    "Subset",
+    "random_split",
+    "split_lengths",
+    "Batch",
+    "iterate_batches",
+    "stack_examples",
+    "pad_batch",
+]
 
 
 class Subset:
@@ -92,6 +100,29 @@ class Batch(tuple):
 def stack_examples(examples) -> tuple[np.ndarray, np.ndarray]:
     xs, ys = zip(*examples)
     return np.stack(xs), np.stack(ys)
+
+
+def pad_batch(x: np.ndarray, y: np.ndarray, batch_size: int, pad_mode: str = "zeros") -> Batch:
+    """Pad a ragged batch to ``batch_size`` with a validity mask.
+
+    The single source of the fixed-shape batch contract, shared by the
+    threaded and grain pipelines: ``zeros`` pads with zero examples (fine
+    for eval, where BatchNorm uses running stats), ``wrap`` repeats real
+    examples (keeps train-mode BatchNorm statistics on real data); the mask
+    excludes padding from the loss either way.
+    """
+    mask = np.ones((x.shape[0],), dtype=np.float32)
+    if x.shape[0] < batch_size:
+        pad = batch_size - x.shape[0]
+        if pad_mode == "wrap":
+            sel = np.arange(pad) % x.shape[0]
+            x = np.concatenate([x, x[sel]])
+            y = np.concatenate([y, y[sel]])
+        else:
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
+        mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+    return Batch((x, y, mask))
 
 
 def _fetch(dataset, idx, pool: Optional[_futures.ThreadPoolExecutor]):
@@ -168,18 +199,11 @@ def iterate_batches(
         try:
             for examples in _chunks():
                 x, y = stack_examples(examples)
-                mask = np.ones((x.shape[0],), dtype=np.float32)
-                if pad_final and x.shape[0] < batch_size:
-                    pad = batch_size - x.shape[0]
-                    if pad_mode == "wrap":
-                        sel = np.arange(pad) % x.shape[0]
-                        x = np.concatenate([x, x[sel]])
-                        y = np.concatenate([y, y[sel]])
-                    else:
-                        x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
-                        y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
-                    mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
-                if not _put(Batch((x, y, mask))):
+                if pad_final:
+                    batch = pad_batch(x, y, batch_size, pad_mode)
+                else:
+                    batch = Batch((x, y, np.ones((x.shape[0],), np.float32)))
+                if not _put(batch):
                     return
         except BaseException as e:  # surface worker errors to the consumer
             _put(e)

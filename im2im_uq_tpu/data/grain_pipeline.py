@@ -15,31 +15,9 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from im2im_uq_tpu.data.core import Batch
+from im2im_uq_tpu.data.core import Batch, pad_batch
 
 __all__ = ["grain_batches", "make_grain_dataset", "CheckpointableBatchIterator"]
-
-
-def _pad_batch(xb, yb, batch_size: int, pad_mode: str) -> Batch:
-    """Pad a ragged final batch to ``batch_size`` with a validity mask.
-
-    Same contract as data.core.iterate_batches: ``zeros`` pads with zero
-    examples (eval), ``wrap`` repeats real examples so train-mode BatchNorm
-    statistics stay on real data; the mask excludes padding either way.
-    """
-    x, y = np.asarray(xb), np.asarray(yb)
-    mask = np.ones((x.shape[0],), np.float32)
-    if x.shape[0] < batch_size:
-        pad = batch_size - x.shape[0]
-        if pad_mode == "wrap":
-            sel = np.arange(pad) % x.shape[0]
-            x = np.concatenate([x, x[sel]])
-            y = np.concatenate([y, y[sel]])
-        else:
-            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
-            y = np.concatenate([y, np.zeros((pad, *y.shape[1:]), y.dtype)])
-        mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
-    return Batch((x, y, mask))
 
 
 def make_grain_dataset(
@@ -89,7 +67,7 @@ def grain_batches(
     it = ds.to_iter_dataset(read_options=read_options) if read_options else ds
     for xb, yb in it:
         if pad_final:
-            yield _pad_batch(xb, yb, batch_size, pad_mode)
+            yield pad_batch(np.asarray(xb), np.asarray(yb), batch_size, pad_mode)
         else:
             x, y = np.asarray(xb), np.asarray(yb)
             yield Batch((x, y, np.ones((x.shape[0],), np.float32)))
@@ -144,6 +122,8 @@ class CheckpointableBatchIterator:
     def __next__(self) -> Batch:
         xb, yb = next(self._it)
         if self._pad_final:
-            return _pad_batch(xb, yb, self._batch_size, self._pad_mode)
+            return pad_batch(
+                np.asarray(xb), np.asarray(yb), self._batch_size, self._pad_mode
+            )
         x, y = np.asarray(xb), np.asarray(yb)
         return Batch((x, y, np.ones((x.shape[0],), np.float32)))

@@ -39,11 +39,6 @@ __all__ = [
 ]
 
 
-def _nhwc_to_component(ys: list[jax.Array]) -> jax.Array:
-    """Stack per-component NHWC maps into (B, K, H, W, C)."""
-    return jnp.stack(ys, axis=1)
-
-
 def _fused_conv3x3(x: jax.Array, params: list, dtype: Any) -> jax.Array:
     """One conv3x3 evaluating several same-input convs at once.
 

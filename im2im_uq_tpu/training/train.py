@@ -179,6 +179,14 @@ def train_net(
     # at whole-epoch granularity only (train.py:80-98).
     use_grain = config.get("input_pipeline", "threaded") == "grain"
     ckpt_steps = config.get("checkpoint_every_steps")
+    if use_grain and not (
+        hasattr(train_dataset, "__len__") and hasattr(train_dataset, "__getitem__")
+    ):
+        raise ValueError(
+            "input_pipeline: grain requires a map-style dataset (__len__ + "
+            "__getitem__); iterable streams (e.g. TEMCA) use the default "
+            "threaded pipeline."
+        )
 
     state = TrainState(
         params=uq_state.variables["params"],

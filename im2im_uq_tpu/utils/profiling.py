@@ -15,7 +15,13 @@ import contextlib
 import time
 from typing import Callable, Optional
 
-__all__ = ["trace", "time_fn", "device_busy_breakdown", "measure_device_busy"]
+__all__ = [
+    "trace",
+    "time_fn",
+    "device_busy_breakdown",
+    "device_busy_ops",
+    "measure_device_busy",
+]
 
 
 @contextlib.contextmanager
@@ -64,13 +70,12 @@ def time_fn(
     }
 
 
-def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
-    """Per-category on-chip busy ms/step from a jax.profiler trace directory.
+def _tpu_op_durations(trace_dir: str):
+    """Summed per-op TPU-lane durations (µs) from a jax.profiler trace dir.
 
-    Sums TPU-lane op durations (skipping container rows that double-count
-    children) and buckets them: convolution, reduction, while/dynamic-slice
-    (the serialized-scatter signature), gather, copy, fusion, other.
-    Returns {'total_ms', 'categories': {...}} or None if no trace found.
+    Skips the jit_* container rows (they double-count children) and bare
+    step-number rows. Returns a Counter {op_name: µs} or None if no trace
+    file was produced.
     """
     import collections
     import glob
@@ -89,7 +94,7 @@ def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
         for e in ev
         if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
     }
-    cat = collections.Counter()
+    ops = collections.Counter()
     for e in ev:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -98,6 +103,25 @@ def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
         n = e["name"]
         if n.startswith("jit_") or re.fullmatch(r"\d+", n):
             continue
+        ops[n] += e["dur"]
+    return ops
+
+
+def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
+    """Per-category on-chip busy ms/step from a jax.profiler trace directory.
+
+    Buckets op durations: convolution, reduction, while/dynamic-slice (the
+    serialized-scatter signature), maxpool-bwd, gather, copy, fusion, other.
+    Returns {'total_ms', 'categories': {...}} or None if no trace found.
+    """
+    import collections
+    import re
+
+    ops = _tpu_op_durations(trace_dir)
+    if ops is None:
+        return None
+    cat = collections.Counter()
+    for n, dur in ops.items():
         base = re.sub(r"[.\d]+$", "", n)
         if "conv" in base:
             k = "convolution"
@@ -115,11 +139,28 @@ def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
             k = "fusion"
         else:
             k = "other"
-        cat[k] += e["dur"]
+        cat[k] += dur
     total = sum(cat.values())
     return {
         "total_ms": round(total / steps / 1e3, 2),
         "categories": {k: round(v / steps / 1e3, 2) for k, v in cat.most_common()},
+    }
+
+
+def device_busy_ops(trace_dir: str, steps: int = 1, top: int = 25) -> Optional[dict]:
+    """Top individual ops by on-chip busy ms/step from a trace directory.
+
+    The fine-grained companion of device_busy_breakdown — use it to decide
+    where kernel/fusion work goes. Returns {'total_ms', 'ops': [(name, ms)]}
+    or None if no trace found.
+    """
+    ops = _tpu_op_durations(trace_dir)
+    if ops is None:
+        return None
+    total = sum(ops.values())
+    return {
+        "total_ms": round(total / steps / 1e3, 2),
+        "ops": [(n, round(d / steps / 1e3, 2)) for n, d in ops.most_common(top)],
     }
 
 
