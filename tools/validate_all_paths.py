@@ -46,10 +46,15 @@ COMMON = dict(
     mse_weight=1, num_softmax=20, beta=0.1, seed=0,
 )
 
+FASTMRI = dict(
+    COMMON, dataset="fastmri", data_path=fm_dir, batch_size=8, num_inputs=1,
+    data_split_percentages=[0.6, 0.2, 0.2, 0.0],
+    input_normalization="standard", output_normalization="min-max",
+)
+
 runs = [
-    dict(COMMON, dataset="fastmri", data_path=fm_dir, uncertainty_type="gaussian",
-         batch_size=8, num_inputs=1, data_split_percentages=[0.6, 0.2, 0.2, 0.0],
-         input_normalization="standard", output_normalization="min-max",
+    # every dataset path x a head
+    dict(FASTMRI, uncertainty_type="gaussian",
          output_dir=os.path.join(BASE, "out_fastmri")),
     dict(COMMON, dataset="temca", data_path=tc_dir + "/", uncertainty_type="quantiles",
          batch_size=8, num_inputs=1, side_length=32, downsampling_factor=2, num_buffer=3,
@@ -60,6 +65,29 @@ runs = [
          batch_size=8, num_inputs=2, data_split_percentages=[0.6, 0.2, 0.2, 0.0],
          input_normalization="min-max", output_normalization="min-max",
          output_dir=os.path.join(BASE, "out_bsbcm")),
+    # the remaining four heads (SURVEY §2 #8) end-to-end on the fastmri path
+    dict(FASTMRI, uncertainty_type="quantiles_l1",
+         output_dir=os.path.join(BASE, "out_fastmri_ql1")),
+    dict(FASTMRI, uncertainty_type="residual_magnitude",
+         output_dir=os.path.join(BASE, "out_fastmri_rm")),
+    dict(FASTMRI, uncertainty_type="residual_magnitude_l1",
+         output_dir=os.path.join(BASE, "out_fastmri_rml1")),
+    dict(FASTMRI, uncertainty_type="inn",
+         output_dir=os.path.join(BASE, "out_fastmri_inn")),
+    # WNet trunk on the 2-input bsbcm path
+    dict(COMMON, dataset="bsbcm", data_path=bs_dir, uncertainty_type="quantiles",
+         model="WNet", batch_size=8, num_inputs=2,
+         data_split_percentages=[0.6, 0.2, 0.2, 0.0],
+         input_normalization="min-max", output_normalization="min-max",
+         output_dir=os.path.join(BASE, "out_bsbcm_wnet")),
+    # on-device k-space physics fused into the train/eval programs
+    dict(FASTMRI, uncertainty_type="gaussian", on_device_transform=True,
+         output_dir=os.path.join(BASE, "out_fastmri_kspace")),
+    # grain input pipeline with mid-epoch checkpointing enabled
+    dict(FASTMRI, uncertainty_type="gaussian", input_pipeline="grain",
+         checkpoint_every_steps=2,
+         checkpoint_dir=os.path.join(BASE, "ckpt_fastmri_grain"),
+         output_dir=os.path.join(BASE, "out_fastmri_grain")),
 ]
 
 for cfg in runs:
