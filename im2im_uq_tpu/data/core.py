@@ -139,10 +139,10 @@ def iterate_batches(
     rng: Optional[np.random.RandomState] = None,
     pad_final: bool = True,
     pad_mode: str = "zeros",
-    num_threads: int = 8,
+    num_threads: int = 0,
     prefetch: int = 2,
 ) -> Iterator[Batch]:
-    """Yield fixed-shape (x, y, mask) numpy batches with threaded prefetch.
+    """Yield fixed-shape (x, y, mask) numpy batches with prefetch.
 
     The final partial batch is padded to ``batch_size`` (mask marks padding)
     so jit sees one shape; ``pad_mode='zeros'`` pads with zeros (fine for
@@ -150,7 +150,17 @@ def iterate_batches(
     real examples (keeps train-mode BatchNorm statistics on real data; the
     mask still excludes padding from the loss). Set ``pad_final=False`` to
     emit the ragged tail instead. Batches are fetched ``prefetch`` ahead on
-    a background thread so host IO overlaps device compute.
+    a background producer thread so host work overlaps device compute.
+
+    ``num_threads`` defaults to 0 (items fetched sequentially on the
+    producer thread): measured on the FastMRI HDF5 path, a thread pool is
+    2-4x SLOWER than sequential fetch — h5py serializes every access
+    behind a global library lock and the numpy transform is GIL-bound, so
+    threads only add contention (75 imgs/s sequential vs 17-25 with 8
+    threads at 320² geometry, benchmarks/bench_input_pipeline.py). Opt in
+    for datasets whose __getitem__ genuinely releases the GIL. For
+    throughput beyond one core, use raw k-space mode + the on-device
+    transform (245 imgs/s host-side) — the production path.
     """
     map_style = hasattr(dataset, "__len__") and hasattr(dataset, "__getitem__")
     if map_style:
