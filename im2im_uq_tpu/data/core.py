@@ -29,6 +29,7 @@ __all__ = [
     "iterate_batches",
     "stack_examples",
     "pad_batch",
+    "ProcessPoolFetcher",
 ]
 
 
@@ -131,6 +132,55 @@ def _fetch(dataset, idx, pool: Optional[_futures.ThreadPoolExecutor]):
     return list(pool.map(dataset.__getitem__, idx))
 
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i):
+    return _WORKER_DATASET[i]
+
+
+class ProcessPoolFetcher:
+    """Fetch dataset items in worker PROCESSES — the GIL/h5py-lock escape.
+
+    Threads cannot parallelize the FastMRI host transform (h5py's global
+    library lock + GIL-bound numpy physics, see iterate_batches); separate
+    processes can. The dataset is pickled once per worker at pool start
+    (FastMRIDataset ships cleanly); per-item results come back through the
+    pickle channel. Use as the ``fetcher`` argument of iterate_batches and
+    keep ONE fetcher alive for the whole run (spawn startup costs seconds —
+    per-epoch pools would pay it every epoch). Counterpart of torch
+    DataLoader(num_workers=N); the reference hard-codes num_workers=0
+    (reference train.py:104-110).
+    """
+
+    def __init__(self, dataset, num_procs: int = 4, start_method: str = "spawn"):
+        import multiprocessing as mp
+
+        # spawn, not fork: the parent usually has live JAX/XLA threads,
+        # which a forked child inherits in a broken state
+        ctx = mp.get_context(start_method)
+        self._pool = ctx.Pool(num_procs, initializer=_worker_init, initargs=(dataset,))
+        self.num_procs = num_procs
+
+    def fetch(self, indices) -> list:
+        return self._pool.map(_worker_get, list(indices))
+
+    def close(self) -> None:
+        self._pool.terminate()
+        self._pool.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -141,6 +191,7 @@ def iterate_batches(
     pad_mode: str = "zeros",
     num_threads: int = 0,
     prefetch: int = 2,
+    fetcher: Optional["ProcessPoolFetcher"] = None,
 ) -> Iterator[Batch]:
     """Yield fixed-shape (x, y, mask) numpy batches with prefetch.
 
@@ -194,7 +245,10 @@ def iterate_batches(
         if map_style:
             for start in range(0, n, batch_size):
                 idx = order[start : start + batch_size]
-                yield _fetch(dataset, idx, pool)
+                if fetcher is not None:
+                    yield fetcher.fetch(idx)
+                else:
+                    yield _fetch(dataset, idx, pool)
         else:
             chunk = []
             for example in dataset:

@@ -57,6 +57,20 @@ def et_query(root, qlist: Sequence[str], namespace: str = _ISMRMRD_NS) -> str:
 class FastMRIDataset:
     """Map-style dataset of undersampled-MRI (input, target) slice pairs."""
 
+    # the h5py module handle is dropped on pickle and re-imported on
+    # restore, so the dataset ships cleanly to worker processes
+    # (data.core.ProcessPoolFetcher, grain workers)
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_h5py", None)
+        return state
+
+    def __setstate__(self, state):
+        import h5py
+
+        self.__dict__.update(state)
+        self._h5py = h5py
+
     def __init__(
         self,
         path: str,

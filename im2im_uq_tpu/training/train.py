@@ -239,7 +239,44 @@ def train_net(
         uq_state.model, loss_pe, config, mesh, preprocess=preprocess
     )
 
+    # loader_procs: fetch items in worker processes (the GIL/h5py escape for
+    # host-transform datasets); one pool reused across every epoch
+    fetcher = None
+    if config.get("loader_procs") and not use_grain:
+        from im2im_uq_tpu.data.core import ProcessPoolFetcher
+
+        fetcher = ProcessPoolFetcher(train_dataset, int(config["loader_procs"]))
+
     global_step = int(state.step)
+    try:
+        state, lhat = _run_epochs(
+            state, lhat, uq_state, train_dataset, val_dataset, mesh,
+            starting_epoch, epochs, batch_size, global_step, seed,
+            use_grain, ckpt_steps, checkpoint_dir, checkpoint_every,
+            validate_every, config, logger, validation_hook,
+            train_step, eval_step, fetcher,
+            resume_data_state, resume_progress,
+        )
+    finally:
+        if fetcher is not None:
+            fetcher.close()
+    ckpt.wait_for_async_saves()
+    return uq_state.replace(
+        variables={"params": state.params, "batch_stats": state.batch_stats},
+        lhat=lhat,
+    )
+
+
+def _run_epochs(
+    state, lhat, uq_state, train_dataset, val_dataset, mesh,
+    starting_epoch, epochs, batch_size, global_step, seed,
+    use_grain, ckpt_steps, checkpoint_dir, checkpoint_every,
+    validate_every, config, logger, validation_hook,
+    train_step, eval_step, fetcher,
+    resume_data_state, resume_progress,
+):
+    """The epoch loop body of train_net (factored out so the process-pool
+    fetcher's lifetime wraps it cleanly)."""
     for epoch in range(starting_epoch, epochs):
         epoch_seed = seed + 1000 * epoch + 1
         if use_grain:
@@ -255,6 +292,7 @@ def train_net(
             batches = iterate_batches(
                 train_dataset, batch_size,
                 shuffle=True, rng=np.random.RandomState(epoch_seed), pad_mode="wrap",
+                fetcher=fetcher,
             )
         carried_loss, num_examples, steps_in_epoch = 0.0, 0, 0
         if resume_progress is not None:
@@ -322,8 +360,4 @@ def train_net(
                 ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
             print(f"Checkpoint {epoch + 1} saved!")
 
-    ckpt.wait_for_async_saves()
-    return uq_state.replace(
-        variables={"params": state.params, "batch_stats": state.batch_stats},
-        lhat=lhat,
-    )
+    return state, lhat

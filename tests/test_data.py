@@ -179,3 +179,69 @@ def test_iterate_batches_early_exit_stops_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_fastmri_dataset_pickles(tmp_path):
+    """The dataset ships to worker processes (h5py handle re-imported)."""
+    import pickle
+
+    from im2im_uq_tpu.data.fastmri import FastMRIDataset, write_synthetic_volume
+
+    write_synthetic_volume(str(tmp_path / "v.h5"), num_slices=4,
+                           enc_shape=(64, 40), recon_shape=(32, 32), seed=0)
+    ds = FastMRIDataset(str(tmp_path), normalize_input="standard",
+                        normalize_output="min-max",
+                        mask_info={"type": "equispaced",
+                                   "center_fraction": [0.08],
+                                   "acceleration": [4]})
+    clone = pickle.loads(pickle.dumps(ds))
+    x0, y0 = clone[0]
+    assert x0.shape == (32, 32, 1) and y0.shape == (32, 32, 1)
+
+
+def test_process_pool_fetcher_matches_sequential(tmp_path):
+    from im2im_uq_tpu.data.core import ProcessPoolFetcher, iterate_batches
+    from im2im_uq_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(num_examples=10, image_size=16, seed=3)
+    seq = list(iterate_batches(ds, 4, shuffle=False))
+    with ProcessPoolFetcher(ds, num_procs=2) as fetcher:
+        par = list(iterate_batches(ds, 4, shuffle=False, fetcher=fetcher))
+    assert len(seq) == len(par)
+    for (xa, ya, ma), (xb, yb, mb) in zip(seq, par):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+        np.testing.assert_array_equal(ma, mb)
+
+
+def test_train_net_with_loader_procs(tmp_path):
+    """train_net(loader_procs=2) produces the same parameters as the
+    sequential loader (same data order, worker processes only fetch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from im2im_uq_tpu.data.synthetic import SyntheticDataset
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.training.train import train_net
+
+    cfg = {
+        "dataset": "synthetic", "model": "UNet", "uncertainty_type": "quantiles",
+        "batch_size": 4, "lr": 1e-3, "epochs": 1, "input_normalization": "standard",
+        "output_normalization": "min-max", "q_lo": 0.05, "q_hi": 0.95,
+        "q_lo_weight": 1.0, "q_hi_weight": 1.0, "mse_weight": 1.0,
+    }
+    ds = SyntheticDataset(num_examples=8, image_size=16, seed=0)
+
+    def fresh():
+        return add_uncertainty(build_trunk(cfg), cfg, rng=jax.random.key(0),
+                               example_input=jnp.zeros((1, 16, 16, 1)))
+
+    ref = train_net(fresh(), ds, ds, None, epochs=1, batch_size=4, lr=1e-3,
+                    validate_every=10, config=cfg)
+    par = train_net(fresh(), ds, ds, None, epochs=1, batch_size=4, lr=1e-3,
+                    validate_every=10, config=dict(cfg, loader_procs=2))
+    np.testing.assert_allclose(
+        np.asarray(par.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]),
+        np.asarray(ref.variables["params"]["trunk"]["inc"]["conv0"]["kernel"]),
+        rtol=1e-6, atol=1e-7,
+    )
