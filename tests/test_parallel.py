@@ -138,3 +138,62 @@ def test_distributed_risk_psum_matches_host_mean(small_state):
     risks = compute_risks_device(small_state, ds, lam, batch_size=8, mesh=mesh)
     table = compute_loss_table(small_state, ds, lam, batch_size=8, mesh=mesh)
     np.testing.assert_allclose(risks, table.mean(axis=0), rtol=1e-6, atol=1e-7)
+
+
+def test_mesh_train_step_matches_single_device():
+    """One data-parallel SPMD train step over the 8-device mesh reproduces
+    the single-device step: GSPMD all-reduces the gradients and the
+    BatchNorm batch statistics (sync-BN), so the mesh executes exactly the
+    full-batch program. Guards the semantics the reference gets for free
+    from single-process nn.DataParallel (reference train.py:112-115).
+
+    Single-step with SGD on purpose: per-step program equivalence IS the
+    semantic claim. Multi-step trajectories amplify reduction-order noise
+    through the pinball loss's sign-based gradients, and Adam turns any
+    noise-level gradient element (e.g. conv biases that BatchNorm cancels)
+    into a ±lr coin flip — with SGD, parameter differences stay
+    proportional to the gradient noise itself.
+    """
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    cfg = dict(CONFIG, uncertainty_type="quantiles")
+    state = add_uncertainty(
+        build_trunk(cfg), cfg, rng=jax.random.key(0),
+        example_input=jnp.zeros((1, 16, 16, 1)),
+    )
+    tx = optax.sgd(1e-2)
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 16, 16, 1).astype(np.float32)
+    y = rng.randn(8, 16, 16, 1).astype(np.float32)
+    mask = np.ones((8,), np.float32)
+
+    def one_step(mesh):
+        ts = TrainState(
+            params=jax.tree.map(jnp.array, state.variables["params"]),
+            batch_stats=jax.tree.map(jnp.array, state.variables["batch_stats"]),
+            opt_state=tx.init(state.variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if mesh is not None:
+            ts = replicate_tree(mesh, ts)
+        step = make_train_step(
+            state.model, head_loss_pe_fn("quantiles"), cfg, tx, mesh
+        )
+        ts, loss = step(ts, x, y, mask)
+        return jax.device_get(ts), float(loss)
+
+    ts_single, loss_single = one_step(None)
+    ts_mesh, loss_mesh = one_step(data_parallel_mesh())
+    assert loss_mesh == pytest.approx(loss_single, rel=1e-6)
+    for tree_s, tree_m in (
+        (ts_single.params, ts_mesh.params),
+        (ts_single.batch_stats, ts_mesh.batch_stats),
+    ):
+        flat_s, _ = jax.tree_util.tree_flatten_with_path(tree_s)
+        flat_m, _ = jax.tree_util.tree_flatten_with_path(tree_m)
+        for (path, a), (_, b) in zip(flat_s, flat_m):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=2e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
