@@ -56,8 +56,16 @@ def main():
               f"({'raw k-space' if raw else 'image transform'})")
 
         for name, it in (
-            ("threaded", lambda: iterate_batches(ds, batch, shuffle=True,
-                                                 rng=np.random.RandomState(0))),
+            # default pipeline: sequential fetch on the producer thread
+            ("sequential-fetch pipeline",
+             lambda: iterate_batches(ds, batch, shuffle=True,
+                                     rng=np.random.RandomState(0))),
+            # opt-in thread pool — kept measurable so the num_threads=0
+            # default's evidence (h5py lock + GIL make threads SLOWER)
+            # stays reproducible
+            ("thread-pool pipeline (num_threads=8)",
+             lambda: iterate_batches(ds, batch, shuffle=True, num_threads=8,
+                                     rng=np.random.RandomState(0))),
             ("grain", None),
         ):
             if name == "grain":

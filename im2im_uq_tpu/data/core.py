@@ -103,17 +103,24 @@ def stack_examples(examples) -> tuple[np.ndarray, np.ndarray]:
     return np.stack(xs), np.stack(ys)
 
 
-def pad_batch(x: np.ndarray, y: np.ndarray, batch_size: int, pad_mode: str = "zeros") -> Batch:
+def pad_batch(
+    x: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    pad_mode: str = "zeros",
+    pad_final: bool = True,
+) -> Batch:
     """Pad a ragged batch to ``batch_size`` with a validity mask.
 
     The single source of the fixed-shape batch contract, shared by the
     threaded and grain pipelines: ``zeros`` pads with zero examples (fine
     for eval, where BatchNorm uses running stats), ``wrap`` repeats real
     examples (keeps train-mode BatchNorm statistics on real data); the mask
-    excludes padding from the loss either way.
+    excludes padding from the loss either way. ``pad_final=False`` emits
+    the ragged batch unchanged (all-ones mask).
     """
     mask = np.ones((x.shape[0],), dtype=np.float32)
-    if x.shape[0] < batch_size:
+    if pad_final and x.shape[0] < batch_size:
         pad = batch_size - x.shape[0]
         if pad_mode == "wrap":
             sel = np.arange(pad) % x.shape[0]
@@ -263,11 +270,7 @@ def iterate_batches(
         try:
             for examples in _chunks():
                 x, y = stack_examples(examples)
-                if pad_final:
-                    batch = pad_batch(x, y, batch_size, pad_mode)
-                else:
-                    batch = Batch((x, y, np.ones((x.shape[0],), np.float32)))
-                if not _put(batch):
+                if not _put(pad_batch(x, y, batch_size, pad_mode, pad_final)):
                     return
         except BaseException as e:  # surface worker errors to the consumer
             _put(e)

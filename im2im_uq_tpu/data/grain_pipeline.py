@@ -66,11 +66,7 @@ def grain_batches(
     )
     it = ds.to_iter_dataset(read_options=read_options) if read_options else ds
     for xb, yb in it:
-        if pad_final:
-            yield pad_batch(np.asarray(xb), np.asarray(yb), batch_size, pad_mode)
-        else:
-            x, y = np.asarray(xb), np.asarray(yb)
-            yield Batch((x, y, np.ones((x.shape[0],), np.float32)))
+        yield pad_batch(np.asarray(xb), np.asarray(yb), batch_size, pad_mode, pad_final)
 
 
 class CheckpointableBatchIterator:
@@ -121,9 +117,7 @@ class CheckpointableBatchIterator:
 
     def __next__(self) -> Batch:
         xb, yb = next(self._it)
-        if self._pad_final:
-            return pad_batch(
-                np.asarray(xb), np.asarray(yb), self._batch_size, self._pad_mode
-            )
-        x, y = np.asarray(xb), np.asarray(yb)
-        return Batch((x, y, np.ones((x.shape[0],), np.float32)))
+        return pad_batch(
+            np.asarray(xb), np.asarray(yb), self._batch_size,
+            self._pad_mode, self._pad_final,
+        )

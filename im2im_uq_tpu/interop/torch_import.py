@@ -177,6 +177,11 @@ def load_reference_checkpoint(
         if raw is not None:
             lhat = float(raw.item() if hasattr(raw, "item") else raw)
         obj = obj.state_dict()
+    elif "lhat" in obj:
+        # bare state_dict: the calibrated lhat rides along as the
+        # reference ModelWithUncertainty's registered buffer
+        raw = obj["lhat"]
+        lhat = float(raw.item() if hasattr(raw, "item") else raw)
     params, batch_stats = port_state_dict(
         obj, config.get("model", "UNet"), config["uncertainty_type"]
     )

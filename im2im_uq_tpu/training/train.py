@@ -243,6 +243,14 @@ def train_net(
     # host-transform datasets); one pool reused across every epoch
     fetcher = None
     if config.get("loader_procs") and not use_grain:
+        if not (
+            hasattr(train_dataset, "__len__") and hasattr(train_dataset, "__getitem__")
+        ):
+            raise ValueError(
+                "loader_procs requires a map-style dataset (__len__ + "
+                "__getitem__); iterable streams (e.g. TEMCA) fetch "
+                "sequentially on the producer thread."
+            )
         from im2im_uq_tpu.data.core import ProcessPoolFetcher
 
         fetcher = ProcessPoolFetcher(train_dataset, int(config["loader_procs"]))
@@ -329,6 +337,12 @@ def _run_epochs(
                         "steps": steps_in_epoch,
                     },
                 )
+        if use_grain and ckpt_steps and checkpoint_dir:
+            # the epoch completed — drop the rolling mid-epoch rewind point
+            # so a later resume never replays finished work
+            mp = ckpt.midepoch_checkpoint_path(checkpoint_dir, config)
+            if os.path.exists(mp):
+                os.remove(mp)
         epoch_loss = carried_loss + (
             float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         )

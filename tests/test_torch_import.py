@@ -141,3 +141,15 @@ def test_import_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(
         got / scale, ref_out[:, :, 0] / scale, rtol=0, atol=2e-5
     )
+
+
+def test_bare_state_dict_carries_lhat(tmp_path):
+    """A plain module.state_dict() save (standard torch practice) still
+    imports the calibrated lhat from its registered-buffer entry."""
+    torch.manual_seed(4)
+    ref = ref_add_uncertainty(RefUNet(1, 1), dict(QPARAMS, device="cpu"))
+    ref.set_lhat(torch.tensor(3.75))
+    path = str(tmp_path / "sd.pth")
+    torch.save(ref.state_dict(), path)
+    state = load_reference_checkpoint(path, QPARAMS)
+    assert state.lhat == pytest.approx(3.75)
