@@ -153,3 +153,46 @@ def test_bare_state_dict_carries_lhat(tmp_path):
     torch.save(ref.state_dict(), path)
     state = load_reference_checkpoint(path, QPARAMS)
     assert state.lhat == pytest.approx(3.75)
+
+
+def test_export_roundtrip_bit_exact():
+    """import → export reproduces the reference state_dict tensors exactly."""
+    from im2im_uq_tpu.interop.torch_export import export_state_dict
+
+    torch.manual_seed(5)
+    ref = ref_add_uncertainty(RefUNet(1, 1), dict(QPARAMS, device="cpu"))
+    sd = ref.state_dict()
+    params, stats = port_state_dict(sd, "UNet", "quantiles")
+    back = export_state_dict(
+        {"params": params, "batch_stats": stats}, "UNet", "quantiles"
+    )
+    assert set(back) == set(sd)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[k].numpy(), sd[k].numpy(), err_msg=k)
+
+
+def test_export_loads_into_reference_with_forward_parity():
+    """A model trained HERE serves identically in the reference framework."""
+    import jax
+
+    from im2im_uq_tpu.interop.torch_export import export_state_dict
+
+    state = add_uncertainty(
+        build_trunk(QPARAMS), QPARAMS, rng=jax.random.key(7),
+        example_input=jnp.zeros((1, 32, 32, 1)),
+    ).set_lhat(1.25)
+    sd = export_state_dict(
+        state.variables, "UNet", "quantiles", lhat=state.lhat
+    )
+    ref = ref_add_uncertainty(RefUNet(1, 1), dict(QPARAMS, device="cpu"))
+    ref.set_lhat(torch.tensor(0.0))  # materialize the buffer for strict load
+    ref.load_state_dict(sd)
+    ref.eval()
+    assert float(ref.lhat) == pytest.approx(1.25)
+    x = np.random.RandomState(9).randn(2, 40, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(np.moveaxis(x, -1, 1))).numpy()
+    got = _forward_ours(state, x)[:, :, :, :, 0]
+    _assert_close(got, ref_out[:, :, 0], atol=2e-5)
