@@ -212,23 +212,31 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
         finally:
             _kspace_mode()
 
-    state = train_net(
-        state,
-        train_ds,
-        val_ds,
-        mesh,
-        epochs=config["epochs"],
-        batch_size=config["batch_size"],
-        lr=config["lr"],
-        load_from_checkpoint=config.get("load_from_checkpoint", False),
-        checkpoint_dir=config.get("checkpoint_dir"),
-        checkpoint_every=config.get("checkpoint_every", 1),
-        validate_every=config.get("validate_every", 10),
-        config=config,
-        logger=logger,
-        validation_hook=validation_hook,
-        preprocess=preprocess,
-    )
+    from im2im_uq_tpu.training.train import PreemptionInterrupt
+
+    try:
+        state = train_net(
+            state,
+            train_ds,
+            val_ds,
+            mesh,
+            epochs=config["epochs"],
+            batch_size=config["batch_size"],
+            lr=config["lr"],
+            load_from_checkpoint=config.get("load_from_checkpoint", False),
+            checkpoint_dir=config.get("checkpoint_dir"),
+            checkpoint_every=config.get("checkpoint_every", 1),
+            validate_every=config.get("validate_every", 10),
+            config=config,
+            logger=logger,
+            validation_hook=validation_hook,
+            preprocess=preprocess,
+        )
+    except PreemptionInterrupt as e:
+        # graceful_shutdown saved a resumable checkpoint; exit with the
+        # conventional SIGTERM status so schedulers see a clean preemption
+        print(e)
+        raise SystemExit(143)
     _image_mode()  # calibration/eval/artifacts run on image-domain items
     print("Done training!")
 

@@ -35,7 +35,24 @@ from im2im_uq_tpu.parallel import mesh as mesh_lib
 from im2im_uq_tpu.training import checkpoint as ckpt
 from im2im_uq_tpu.utils.logging import MetricsLogger
 
-__all__ = ["TrainState", "make_train_step", "train_net"]
+__all__ = ["TrainState", "make_train_step", "train_net", "PreemptionInterrupt"]
+
+
+class PreemptionInterrupt(RuntimeError):
+    """Raised after a graceful signal-triggered checkpoint save.
+
+    ``graceful_shutdown: true`` + a checkpoint_dir turn SIGTERM/SIGINT
+    (the cloud-TPU preemption notice) into a clean save-and-exit at the
+    next step boundary; resume with ``load_from_checkpoint: true``. The
+    saved path is carried on ``.checkpoint_path``.
+    """
+
+    def __init__(self, checkpoint_path: str):
+        super().__init__(
+            f"training interrupted by signal; state saved to {checkpoint_path} "
+            "(resume with load_from_checkpoint: true)"
+        )
+        self.checkpoint_path = checkpoint_path
 
 
 class TrainState(struct.PyTreeNode):
@@ -255,6 +272,23 @@ def train_net(
 
         fetcher = ProcessPoolFetcher(train_dataset, int(config["loader_procs"]))
 
+    # graceful_shutdown: SIGTERM/SIGINT (cloud preemption notice) request a
+    # checkpoint at the next step boundary instead of killing the run
+    stop_signal = {"signum": None}
+    restore_handlers = []
+    if config.get("graceful_shutdown") and checkpoint_dir:
+        import signal
+
+        def _on_signal(signum, frame):
+            stop_signal["signum"] = signum
+
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                restore_handlers.append((s, signal.signal(s, _on_signal)))
+        except ValueError:
+            # signal handlers are main-thread-only; run unguarded elsewhere
+            restore_handlers = []
+
     global_step = int(state.step)
     try:
         state, lhat = _run_epochs(
@@ -263,9 +297,14 @@ def train_net(
             use_grain, ckpt_steps, checkpoint_dir, checkpoint_every,
             validate_every, config, logger, validation_hook,
             train_step, eval_step, fetcher,
-            resume_data_state, resume_progress,
+            resume_data_state, resume_progress, stop_signal,
         )
     finally:
+        if restore_handlers:
+            import signal
+
+            for s, old in restore_handlers:
+                signal.signal(s, old)
         if fetcher is not None:
             fetcher.close()
     ckpt.wait_for_async_saves()
@@ -281,7 +320,7 @@ def _run_epochs(
     use_grain, ckpt_steps, checkpoint_dir, checkpoint_every,
     validate_every, config, logger, validation_hook,
     train_step, eval_step, fetcher,
-    resume_data_state, resume_progress,
+    resume_data_state, resume_progress, stop_signal,
 ):
     """The epoch loop body of train_net (factored out so the process-pool
     fetcher's lifetime wraps it cleanly)."""
@@ -337,6 +376,21 @@ def _run_epochs(
                         "steps": steps_in_epoch,
                     },
                 )
+            if stop_signal["signum"] is not None and use_grain and checkpoint_dir:
+                # graceful preemption: persist the exact mid-epoch position
+                # and stop — the resume replays nothing
+                carried_loss += float(jnp.sum(jnp.stack(losses)))
+                losses = []
+                mp = ckpt.midepoch_checkpoint_path(checkpoint_dir, config)
+                ckpt.save_midepoch_checkpoint(
+                    mp, jax.device_get(state), lhat, epoch, batches.get_state(),
+                    {
+                        "sum_loss": carried_loss,
+                        "num_examples": num_examples,
+                        "steps": steps_in_epoch,
+                    },
+                )
+                raise PreemptionInterrupt(mp)
         if use_grain and ckpt_steps and checkpoint_dir:
             # the epoch completed — drop the rolling mid-epoch rewind point
             # so a later resume never replays finished work
@@ -373,5 +427,18 @@ def _run_epochs(
             else:
                 ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
             print(f"Checkpoint {epoch + 1} saved!")
+
+        if stop_signal["signum"] is not None and checkpoint_dir:
+            # graceful preemption without the grain pipeline: finish the
+            # epoch (just did), persist it as a whole-epoch checkpoint if
+            # the periodic save did not already, and stop cleanly
+            path = ckpt.checkpoint_path(checkpoint_dir, epoch + 1, config)
+            if (epoch + 1) % checkpoint_every != 0:
+                if path.endswith(".orbax"):
+                    ckpt.save_checkpoint(path, state, lhat, epoch + 1)
+                else:
+                    ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
+            ckpt.wait_for_async_saves()
+            raise PreemptionInterrupt(path)
 
     return state, lhat
