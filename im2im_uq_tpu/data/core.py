@@ -144,6 +144,13 @@ _WORKER_DATASET = None
 
 def _worker_init(dataset):
     global _WORKER_DATASET
+    # group-delivered SIGTERM/SIGINT (Ctrl-C, scheduler preemption) must not
+    # kill the workers: graceful_shutdown needs the pool alive to finish the
+    # epoch and checkpoint; the parent terminates the pool on close()
+    import signal
+
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
+    signal.signal(signal.SIGTERM, signal.SIG_IGN)
     _WORKER_DATASET = dataset
 
 

@@ -42,9 +42,13 @@ class PreemptionInterrupt(RuntimeError):
     """Raised after a graceful signal-triggered checkpoint save.
 
     ``graceful_shutdown: true`` + a checkpoint_dir turn SIGTERM/SIGINT
-    (the cloud-TPU preemption notice) into a clean save-and-exit at the
-    next step boundary; resume with ``load_from_checkpoint: true``. The
-    saved path is carried on ``.checkpoint_path``.
+    (the cloud-TPU preemption notice) into a clean save-and-exit; resume
+    with ``load_from_checkpoint: true``. With ``input_pipeline: grain``
+    the save lands at the next STEP boundary (exact mid-epoch state —
+    fits a ~30 s preemption grace window); with the default pipeline the
+    current epoch runs to completion first (no resumable iterator state),
+    so size epochs accordingly or use grain under preemptible capacity.
+    The saved path is carried on ``.checkpoint_path``.
     """
 
     def __init__(self, checkpoint_path: str):
@@ -273,14 +277,23 @@ def train_net(
         fetcher = ProcessPoolFetcher(train_dataset, int(config["loader_procs"]))
 
     # graceful_shutdown: SIGTERM/SIGINT (cloud preemption notice) request a
-    # checkpoint at the next step boundary instead of killing the run
+    # checkpoint instead of killing the run — at the next STEP boundary
+    # with the grain pipeline (exact mid-epoch state), at the next EPOCH
+    # boundary with the default pipeline (no resumable iterator state).
+    # A second signal restores the previous handlers, so repeated Ctrl-C
+    # escalates to an immediate abort.
     stop_signal = {"signum": None}
     restore_handlers = []
     if config.get("graceful_shutdown") and checkpoint_dir:
         import signal
 
+        def _restore():
+            for s, old in restore_handlers:
+                signal.signal(s, old)
+
         def _on_signal(signum, frame):
             stop_signal["signum"] = signum
+            _restore()
 
         try:
             for s in (signal.SIGTERM, signal.SIGINT):
@@ -307,7 +320,9 @@ def train_net(
                 signal.signal(s, old)
         if fetcher is not None:
             fetcher.close()
-    ckpt.wait_for_async_saves()
+        # also on the preemption path: an in-flight async orbax save must
+        # commit before the process exits
+        ckpt.wait_for_async_saves()
     return uq_state.replace(
         variables={"params": state.params, "batch_stats": state.batch_stats},
         lhat=lhat,
@@ -354,18 +369,19 @@ def _run_epochs(
             num_examples += int(mask.sum())
             global_step += 1
             steps_in_epoch += 1
-            if (
-                use_grain
-                and ckpt_steps
-                and checkpoint_dir
-                and steps_in_epoch % int(ckpt_steps) == 0
-            ):
-                # fold the pending device scalars into the carried sum so
-                # the checkpointed accounting is self-contained
-                carried_loss += float(jnp.sum(jnp.stack(losses)))
-                losses = []
+            stop_requested = stop_signal["signum"] is not None
+            periodic = bool(ckpt_steps) and steps_in_epoch % int(ckpt_steps) == 0
+            if use_grain and checkpoint_dir and (periodic or stop_requested):
+                # one save serves both the periodic mid-epoch checkpoint and
+                # graceful preemption (exact position — the resume replays
+                # nothing). Fold the pending device scalars into the carried
+                # sum so the checkpointed accounting is self-contained.
+                if losses:
+                    carried_loss += float(jnp.sum(jnp.stack(losses)))
+                    losses = []
+                mp = ckpt.midepoch_checkpoint_path(checkpoint_dir, config)
                 ckpt.save_midepoch_checkpoint(
-                    ckpt.midepoch_checkpoint_path(checkpoint_dir, config),
+                    mp,
                     jax.device_get(state),
                     lhat,
                     epoch,
@@ -376,24 +392,13 @@ def _run_epochs(
                         "steps": steps_in_epoch,
                     },
                 )
-            if stop_signal["signum"] is not None and use_grain and checkpoint_dir:
-                # graceful preemption: persist the exact mid-epoch position
-                # and stop — the resume replays nothing
-                carried_loss += float(jnp.sum(jnp.stack(losses)))
-                losses = []
-                mp = ckpt.midepoch_checkpoint_path(checkpoint_dir, config)
-                ckpt.save_midepoch_checkpoint(
-                    mp, jax.device_get(state), lhat, epoch, batches.get_state(),
-                    {
-                        "sum_loss": carried_loss,
-                        "num_examples": num_examples,
-                        "steps": steps_in_epoch,
-                    },
-                )
-                raise PreemptionInterrupt(mp)
-        if use_grain and ckpt_steps and checkpoint_dir:
+                if stop_requested:
+                    raise PreemptionInterrupt(mp)
+        if use_grain and checkpoint_dir:
             # the epoch completed — drop the rolling mid-epoch rewind point
-            # so a later resume never replays finished work
+            # so a later resume never replays finished work (gated like the
+            # SAVE, not on ckpt_steps: the preemption path writes the file
+            # even when periodic mid-epoch checkpoints are off)
             mp = ckpt.midepoch_checkpoint_path(checkpoint_dir, config)
             if os.path.exists(mp):
                 os.remove(mp)
@@ -438,7 +443,6 @@ def _run_epochs(
                     ckpt.save_checkpoint(path, state, lhat, epoch + 1)
                 else:
                     ckpt.save_checkpoint(path, jax.device_get(state), lhat, epoch + 1)
-            ckpt.wait_for_async_saves()
-            raise PreemptionInterrupt(path)
+            raise PreemptionInterrupt(path)  # train_net's finally commits async saves
 
     return state, lhat

@@ -118,3 +118,39 @@ def test_signal_handlers_restored(tmp_path):
               checkpoint_dir=str(tmp_path), checkpoint_every=10,
               validate_every=10, config=cfg)
     assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_sigterm_on_periodic_checkpoint_step_grain(tmp_path):
+    """Regression: the signal landing on a periodic mid-epoch-checkpoint
+    step (losses already flushed) must still save and raise cleanly."""
+    pytest.importorskip("grain")
+    cfg = dict(BASE_CFG, epochs=1, checkpoint_every=10,
+               input_pipeline="grain", checkpoint_every_steps=1)
+    ds = SyntheticDataset(num_examples=8, image_size=16, seed=0)
+    with pytest.raises(PreemptionInterrupt) as ei:
+        train_net(_fresh_state(cfg), _SignalingDataset(ds, signal_index=0), ds,
+                  None, epochs=1, batch_size=4, lr=1e-3,
+                  checkpoint_dir=str(tmp_path), checkpoint_every=10,
+                  validate_every=10, config=cfg)
+    assert os.path.exists(ei.value.checkpoint_path)
+
+
+def test_stale_midepoch_cleanup_without_periodic_steps(tmp_path):
+    """Regression: a preemption-written CP_midepoch (no checkpoint_every_steps
+    configured) is removed once its epoch completes on resume."""
+    pytest.importorskip("grain")
+    from im2im_uq_tpu.training.checkpoint import midepoch_checkpoint_path
+
+    cfg = dict(BASE_CFG, epochs=1, checkpoint_every=10, input_pipeline="grain")
+    ds = SyntheticDataset(num_examples=8, image_size=16, seed=0)
+    with pytest.raises(PreemptionInterrupt):
+        train_net(_fresh_state(cfg), _SignalingDataset(ds, signal_index=0), ds,
+                  None, epochs=1, batch_size=4, lr=1e-3,
+                  checkpoint_dir=str(tmp_path), checkpoint_every=10,
+                  validate_every=10, config=cfg)
+    assert os.path.exists(midepoch_checkpoint_path(str(tmp_path), cfg))
+    train_net(_fresh_state(cfg), ds, ds, None, epochs=1, batch_size=4,
+              lr=1e-3, load_from_checkpoint=True, checkpoint_dir=str(tmp_path),
+              checkpoint_every=10, validate_every=10,
+              config=dict(cfg, graceful_shutdown=False))
+    assert not os.path.exists(midepoch_checkpoint_path(str(tmp_path), cfg))
