@@ -85,6 +85,7 @@ def eval_set_metrics(
         lam = uq_state.lhat
     rng = rng or np.random
     bs = batch_size or config.get("batch_size", 64)
+    bs = mesh_lib.mesh_batch_size(bs, mesh)
     step = _make_metrics_step(uq_state, mesh)
 
     losses_l, sizes_l, resid_l, spatial_sum, n_seen = [], [], [], None, 0

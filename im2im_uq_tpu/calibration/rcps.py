@@ -143,6 +143,7 @@ def compute_loss_table(
     host gathers real rows only (padding masked out).
     """
     step = _make_table_step(uq_state, lam_values, mesh, method)
+    batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
     rows = []
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
         slab = np.asarray(jax.device_get(step(uq_state.variables, x, y)))
@@ -180,6 +181,7 @@ def compute_risks_device(
     )
     total = np.zeros(len(lam_values), np.float64)
     count = 0.0
+    batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
         s, n = jax.device_get(step(uq_state.variables, x, y, mask))
         total += np.asarray(s, np.float64)

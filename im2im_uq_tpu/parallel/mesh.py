@@ -27,6 +27,7 @@ __all__ = [
     "shard_batch",
     "replicate_tree",
     "pad_to_multiple",
+    "mesh_batch_size",
 ]
 
 DATA_AXIS = "data"
@@ -44,6 +45,21 @@ def data_parallel_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 (batch) across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def mesh_batch_size(batch_size: int, mesh: Optional[Mesh]) -> int:
+    """Smallest multiple of the mesh's data-axis size ≥ ``batch_size``.
+
+    GSPMD requires the sharded batch axis to divide evenly across the
+    'data' axis; batches are padded to a fixed size with a validity mask
+    anyway (data.core.pad_batch), so rounding the program's batch shape up
+    costs only masked padding rows — a config batch_size of 78 on an
+    8-device mesh runs as 80 with 2 masked slots, instead of crashing.
+    """
+    if mesh is None or DATA_AXIS not in mesh.shape:
+        return batch_size
+    n = mesh.shape[DATA_AXIS]
+    return -(-batch_size // n) * n
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -157,6 +157,7 @@ def eval_net(
         loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
         step = make_eval_loss_step(uq_state.model, loss_pe, uq_state.params, mesh)
     total, count = 0.0, 0
+    batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
         loss, n = step(uq_state.variables, x, y, mask)
         total += float(loss)
@@ -306,7 +307,11 @@ def train_net(
     try:
         state, lhat = _run_epochs(
             state, lhat, uq_state, train_dataset, val_dataset, mesh,
-            starting_epoch, epochs, batch_size, global_step, seed,
+            starting_epoch, epochs,
+            # the program's batch shape must divide the mesh's data axis;
+            # the pad mask keeps the loss/stat accounting exact
+            mesh_lib.mesh_batch_size(batch_size, mesh),
+            global_step, seed,
             use_grain, ckpt_steps, checkpoint_dir, checkpoint_every,
             validate_every, config, logger, validation_hook,
             train_step, eval_step, fetcher,

@@ -197,3 +197,13 @@ def test_mesh_train_step_matches_single_device():
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=2e-6,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+def test_mesh_batch_size_rounds_to_data_axis():
+    from im2im_uq_tpu.parallel.mesh import mesh_batch_size
+
+    mesh = data_parallel_mesh()
+    assert mesh_batch_size(78, mesh) == 80  # the reference's fastmri batch
+    assert mesh_batch_size(8, mesh) == 8
+    assert mesh_batch_size(1, mesh) == 8
+    assert mesh_batch_size(78, None) == 78
