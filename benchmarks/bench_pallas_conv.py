@@ -1,0 +1,129 @@
+"""Probe: can a Pallas 3×3 conv approach XLA's conv on v5e?
+
+Decides whether a fused DoubleConv (conv+BN+ReLU in one kernel, saving the
+inter-op HBM round trips) is worth building: the fusion only pays if the
+Pallas conv itself is within ~1.3× of XLA's. Forward-only, NHWC, stride 1,
+pre-padded input (the kernel reads an (H+2, W+2) image from HBM tile-wise
+with halo rows via explicit DMA and runs 9 shifted MXU matmuls with an
+f32 accumulator).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_pallas_conv.py [batch] [size] [cin] [cout]
+Correctness (CPU interpret mode): JAX_PLATFORMS=cpu ... --check
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 8  # output rows per grid cell
+
+
+def _conv_kernel(x_hbm, w_ref, out_ref, scratch, sem, *, th, w, cin, cout):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * th, th + 2)], scratch, sem
+    )
+    cp.start()
+    cp.wait()
+    x = scratch[:]  # (th+2, w+2, cin)
+    acc = jnp.zeros((th * w, cout), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[dh : dh + th, dw : dw + w, :].reshape(th * w, cin)
+            acc += jax.lax.dot_general(
+                xs,
+                w_ref[dh, dw],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc.reshape(1, th, w, cout).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_pallas(x, kernel, interpret=False):
+    """NHWC 3×3 same-padding conv; x bf16/f32, kernel (3,3,cin,cout)."""
+    bsz, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    assert h % ROW_TILE == 0
+    # Mosaic DMA slices need the W dim 8-aligned; over-pad the right edge
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    kfn = functools.partial(_conv_kernel, th=ROW_TILE, w=w, cin=cin, cout=cout)
+    return pl.pallas_call(
+        kfn,
+        grid=(bsz, h // ROW_TILE),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 3, cin, cout), lambda b, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_TILE, w, cout), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ROW_TILE + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, kernel)
+
+
+@jax.jit
+def conv3x3_xla(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if len(args) > 0 else 32
+    size = int(args[1]) if len(args) > 1 else 320
+    cin = int(args[2]) if len(args) > 2 else 64
+    cout = int(args[3]) if len(args) > 3 else 64
+    check = "--check" in sys.argv
+
+    rng = np.random.RandomState(0)
+    dtype = jnp.float32 if check else jnp.bfloat16
+    x = jnp.asarray(rng.randn(2 if check else batch, 32 if check else size,
+                              32 if check else size, cin), dtype)
+    k = jnp.asarray(0.1 * rng.randn(3, 3, cin, cout), dtype)
+
+    if check:
+        got = np.asarray(conv3x3_pallas(x, k, interpret=True), np.float32)
+        ref = np.asarray(conv3x3_xla(x, k), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+        print("interpret-mode parity OK", got.shape)
+        return
+
+    sys.path.insert(0, "/root/repo")
+    from im2im_uq_tpu.utils.cache import enable_compilation_cache
+    from im2im_uq_tpu.utils.profiling import measure_device_busy
+
+    enable_compilation_cache()
+    for name, fn in (("xla", conv3x3_xla), ("pallas", conv3x3_pallas)):
+        out = fn(x, k)
+        jax.block_until_ready(out)
+        stats = measure_device_busy(fn, x, k, steps=5)
+        total = stats["total_ms"] if stats else float("nan")
+        gb = (x.nbytes + out.nbytes + k.nbytes) / 1e9
+        print(f"{name}: {total:.2f} ms/call  (min HBM {gb:.2f} GB → "
+              f"{gb / (total / 1e3):.0f} GB/s effective)")
+
+
+if __name__ == "__main__":
+    main()
