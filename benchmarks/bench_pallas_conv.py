@@ -80,6 +80,78 @@ def conv3x3_pallas(x, kernel, interpret=False):
     )(xp, kernel)
 
 
+def _conv_kernel_db(
+    x_hbm, w_ref, out_ref, scratch, sems, *, th, w, cin, cout, n_tiles
+):
+    """Double-buffered variant: tile t+1's rows stream in while t computes."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def copy(tile, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile * th, th + 2)], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(t + 1, nxt).start()
+
+    copy(t, slot).wait()
+    x = scratch[slot]
+    acc = jnp.zeros((th * w, cout), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[dh : dh + th, dw : dw + w, :].reshape(th * w, cin)
+            acc += jax.lax.dot_general(
+                xs,
+                w_ref[dh, dw],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc.reshape(1, th, w, cout).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_pallas_db(x, kernel, interpret=False):
+    bsz, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    assert h % ROW_TILE == 0
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    kfn = functools.partial(
+        _conv_kernel_db, th=ROW_TILE, w=w, cin=cin, cout=cout,
+        n_tiles=h // ROW_TILE,
+    )
+    return pl.pallas_call(
+        kfn,
+        grid=(bsz, h // ROW_TILE),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 3, cin, cout), lambda b, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_TILE, w, cout), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW_TILE + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, kernel)
+
+
 @jax.jit
 def conv3x3_xla(x, kernel):
     return jax.lax.conv_general_dilated(
@@ -104,10 +176,11 @@ def main():
     k = jnp.asarray(0.1 * rng.randn(3, 3, cin, cout), dtype)
 
     if check:
-        got = np.asarray(conv3x3_pallas(x, k, interpret=True), np.float32)
         ref = np.asarray(conv3x3_xla(x, k), np.float32)
-        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
-        print("interpret-mode parity OK", got.shape)
+        for nm, fn in (("single", conv3x3_pallas), ("double-buffered", conv3x3_pallas_db)):
+            got = np.asarray(fn(x, k, interpret=True), np.float32)
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+            print(f"interpret-mode parity OK ({nm})", got.shape)
         return
 
     sys.path.insert(0, "/root/repo")
@@ -115,7 +188,11 @@ def main():
     from im2im_uq_tpu.utils.profiling import measure_device_busy
 
     enable_compilation_cache()
-    for name, fn in (("xla", conv3x3_xla), ("pallas", conv3x3_pallas)):
+    for name, fn in (
+        ("xla", conv3x3_xla),
+        ("pallas", conv3x3_pallas),
+        ("pallas-db", conv3x3_pallas_db),
+    ):
         out = fn(x, k)
         jax.block_until_ready(out)
         stats = measure_device_busy(fn, x, k, steps=5)
