@@ -152,6 +152,87 @@ def conv3x3_pallas_db(x, kernel, interpret=False):
     )(xp, kernel)
 
 
+def _conv_kernel_l1(
+    x_hbm, w_ref, out_ref, scratch, sems, *, th, w, wp, cin, cout, n_tiles
+):
+    """C<128 variant: W and C merged into the minor dim so sliced DMAs meet
+    Mosaic's 128-lane alignment; the dw shift becomes a lane-offset slice."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def copy(tile, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile * th, th + 2)], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(t + 1, nxt).start()
+
+    copy(t, slot).wait()
+    x2d = scratch[slot]  # (th+2, wp*cin)
+    acc = jnp.zeros((th * w, cout), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x2d[dh : dh + th, dw * cin : (dw + w) * cin]
+            xs = xs.reshape(th * w, cin)
+            acc += jax.lax.dot_general(
+                xs,
+                w_ref[dh, dw],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc.reshape(1, th, w, cout).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_pallas_l1(x, kernel, interpret=False):
+    """Variant for lane-unaligned channel counts (e.g. the UNet's C=64
+    level-1 convs): flatten (W, C) into the minor dim. Row tiles are 14
+    high so the DMA'd (th+2)=16 rows stay sublane-aligned; H pads to the
+    tile grid and the output is cropped back."""
+    bsz, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    th = 14
+    h_eff = -(-h // th) * th
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1 + h_eff - h), (1, wp - w - 1), (0, 0)))
+    xflat = xp.reshape(bsz, h_eff + 2, wp * cin)
+    kfn = functools.partial(
+        _conv_kernel_l1, th=th, w=w, wp=wp, cin=cin, cout=cout,
+        n_tiles=h_eff // th,
+    )
+    out = pl.pallas_call(
+        kfn,
+        grid=(bsz, h_eff // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 3, cin, cout), lambda b, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, cout), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h_eff, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp * cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xflat, kernel)
+    return out[:, :h]
+
+
 @jax.jit
 def conv3x3_xla(x, kernel):
     return jax.lax.conv_general_dilated(
@@ -177,7 +258,11 @@ def main():
 
     if check:
         ref = np.asarray(conv3x3_xla(x, k), np.float32)
-        for nm, fn in (("single", conv3x3_pallas), ("double-buffered", conv3x3_pallas_db)):
+        for nm, fn in (
+            ("single", conv3x3_pallas),
+            ("double-buffered", conv3x3_pallas_db),
+            ("l1-merged-minor", conv3x3_pallas_l1),
+        ):
             got = np.asarray(fn(x, k, interpret=True), np.float32)
             np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
             print(f"interpret-mode parity OK ({nm})", got.shape)
@@ -188,11 +273,12 @@ def main():
     from im2im_uq_tpu.utils.profiling import measure_device_busy
 
     enable_compilation_cache()
-    for name, fn in (
-        ("xla", conv3x3_xla),
-        ("pallas", conv3x3_pallas),
-        ("pallas-db", conv3x3_pallas_db),
-    ):
+    variants = [("xla", conv3x3_xla)]
+    if cin % 128 == 0:
+        variants += [("pallas", conv3x3_pallas), ("pallas-db", conv3x3_pallas_db)]
+    else:
+        variants += [("pallas-l1", conv3x3_pallas_l1)]
+    for name, fn in variants:
         out = fn(x, k)
         jax.block_until_ready(out)
         stats = measure_device_busy(fn, x, k, steps=5)
