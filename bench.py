@@ -111,15 +111,17 @@ def main() -> None:
     # warmup/compile
     ts, loss = step(ts, x, y, mask)
     jax.block_until_ready(loss)
-    # best of 3 windows — the tunneled chip's effective rate fluctuates
-    best_dt = float("inf")
+    # wall-clock windows (median of 3) — reported as an *extra* only: the
+    # tunneled chip's wall clock misreports under load (STATUS.md), so the
+    # headline is derived from profiler device-busy time below
+    wall_dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(TRAIN_STEPS):
             ts, loss = step(ts, x, y, mask)
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    imgs_per_sec = BATCH * TRAIN_STEPS / best_dt / n_chips
+        wall_dts.append(time.perf_counter() - t0)
+    wall_ms_per_step = sorted(wall_dts)[1] / TRAIN_STEPS * 1e3
 
     # device-busy time from a profiler trace: the tunnel's wall clock can
     # misreport under load, so also derive on-chip busy ms/step (sum of
@@ -145,6 +147,20 @@ def main() -> None:
     ts16, l16 = step16(ts16, x, y, mask)
     jax.block_until_ready(l16)
     device_ms_bf16 = _device_busy_ms(step16, ts16, x, y, mask, steps=3)
+
+    # FLOPs/step from XLA's own cost model (for the MFU extra); analytic
+    # fallback: ~97 GFLOP fwd/img at 320^2 (XLA cost analysis of the UNet
+    # forward) x 3 for fwd+bwd
+    flops_per_step = None
+    try:
+        ca = step16.lower(ts16, x, y, mask).compile().cost_analysis()
+        ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca0:
+            flops_per_step = float(ca0.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if not flops_per_step:
+        flops_per_step = 97e9 * 3 * BATCH
     del ts16, state16
 
     # calibration wall-clock at FastMRI scale (forward + full λ-grid table + λ̂)
@@ -176,6 +192,25 @@ def main() -> None:
         with open(base_file) as fh:
             baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
 
+    # Headline = device-busy-derived imgs/sec/chip on the production (bf16)
+    # train step — the load-independent number. Wall clock is an extra, with
+    # a reliability flag: wall < busy is physically impossible, so when the
+    # tunnel reports that, the wall number is marked unreliable.
+    busy_ms = device_ms_bf16 or device_ms_per_step
+    if busy_ms:
+        imgs_per_sec = BATCH * 1e3 / busy_ms / n_chips
+        basis = "device_busy_bf16" if device_ms_bf16 else "device_busy_fp32"
+    else:
+        imgs_per_sec = BATCH / (wall_ms_per_step / 1e3) / n_chips
+        basis = "wall_clock (no profiler trace available)"
+    # wall and busy are both fp32-step numbers here; wall < busy is impossible
+    wall_reliable = device_ms_per_step is None or wall_ms_per_step >= device_ms_per_step
+    mfu_bf16 = (
+        round(flops_per_step / (device_ms_bf16 / 1e3) / 197e12, 4)
+        if device_ms_bf16
+        else None
+    )
+
     print(
         json.dumps(
             {
@@ -187,13 +222,18 @@ def main() -> None:
                     "batch": BATCH,
                     "image": IMAGE,
                     "n_chips": n_chips,
-                    "device_busy_ms_per_step": device_ms_per_step,
-                    "device_busy_imgs_per_sec": (
+                    "value_basis": basis,
+                    "device_busy_ms_per_step_fp32": device_ms_per_step,
+                    "device_busy_ms_per_step_bf16": device_ms_bf16,
+                    "device_busy_imgs_per_sec_fp32": (
                         round(BATCH * 1e3 / device_ms_per_step, 1)
                         if device_ms_per_step
                         else None
                     ),
-                    "device_busy_ms_per_step_bf16": device_ms_bf16,
+                    "wall_ms_per_step_fp32": round(wall_ms_per_step, 2),
+                    "wall_clock_reliable": wall_reliable,
+                    "mfu_bf16": mfu_bf16,
+                    "flops_per_step": flops_per_step,
                     "calibration_seconds_n128_L1000": round(calib_seconds, 2),
                     "calibration_seconds_incl_compile": round(calib_cold, 2),
                     "lhat": state.lhat,

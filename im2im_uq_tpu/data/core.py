@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import concurrent.futures as _futures
 import threading
+import time
 from queue import Full, Queue
 from typing import Iterator, Optional, Sequence
 
@@ -185,7 +186,18 @@ class ProcessPoolFetcher:
         return self._pool.map(_worker_get, list(indices))
 
     def close(self) -> None:
+        # workers ignore SIGTERM (see _worker_init), so terminate() degrades
+        # to the sentinel-drain path; a worker stuck inside __getitem__
+        # (hung NFS/HDF5 read) would block join() forever — escalate to
+        # SIGKILL for any worker still alive after a bounded wait
         self._pool.terminate()
+        deadline = time.monotonic() + 10.0
+        procs = list(getattr(self._pool, "_pool", []))
+        for p in procs:
+            p.join(max(0.0, deadline - time.monotonic()))
+        for p in procs:
+            if p.is_alive():
+                p.kill()
         self._pool.join()
 
     def __enter__(self):

@@ -168,9 +168,26 @@ def load_reference_checkpoint(
 
     from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
 
+    inserted = None
     if reference_path and reference_path not in sys.path:
         sys.path.insert(0, reference_path)
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+        inserted = reference_path
+    try:
+        try:
+            # bare state_dicts load safely without pickle code execution
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # the reference's whole-module .pth pickles need full unpickling
+            # (runs code from the checkpoint — only load trusted files)
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        # don't leave reference_path shadowing same-named modules (e.g. a
+        # top-level 'core' package) for the rest of the process
+        if inserted is not None:
+            try:
+                sys.path.remove(inserted)
+            except ValueError:
+                pass
     lhat = None
     if hasattr(obj, "state_dict"):
         raw = getattr(obj, "lhat", None)

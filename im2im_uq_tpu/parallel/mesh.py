@@ -14,11 +14,14 @@ an ``--xla_force_host_platform_device_count`` virtual CPU mesh.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_ROUNDING_WARNED: set = set()
 
 __all__ = [
     "data_parallel_mesh",
@@ -59,7 +62,19 @@ def mesh_batch_size(batch_size: int, mesh: Optional[Mesh]) -> int:
     if mesh is None or DATA_AXIS not in mesh.shape:
         return batch_size
     n = mesh.shape[DATA_AXIS]
-    return -(-batch_size // n) * n
+    rounded = -(-batch_size // n) * n
+    if rounded != batch_size and (batch_size, n) not in _ROUNDING_WARNED:
+        # visible, once per (batch, mesh) pair: full batches carry more real
+        # examples per step than configured — a quiet hyperparameter change
+        # vs the reference's training dynamics unless surfaced
+        _ROUNDING_WARNED.add((batch_size, n))
+        logging.getLogger(__name__).warning(
+            "batch_size %d rounded up to %d (next multiple of the %d-device "
+            "data axis); final shapes are padded+masked, but full batches "
+            "will contain %d real examples per step",
+            batch_size, rounded, n, rounded,
+        )
+    return rounded
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -301,9 +301,33 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
     return results
 
 
+def _wandb_agent_config() -> Optional[dict]:
+    """Config from a live wandb sweep agent, or None.
+
+    The reference's operational workflow is ``wandb sweep config.yml`` +
+    agents; each agent process runs the sweep's ``program:`` with no CLI
+    args and publishes the grid point via ``wandb.config``
+    (reference README.md:26-34, core/scripts/router.py:36-52). When this
+    process was spawned by an agent (WANDB_SWEEP_ID set), initialize the
+    run and hand its config to the normal pipeline.
+    """
+    if not os.environ.get("WANDB_SWEEP_ID"):
+        return None
+    try:
+        import wandb  # type: ignore
+    except Exception:
+        return None
+    wandb.init()
+    return dict(wandb.config)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--config", required=True, help="sweep YAML (wandb schema ok)")
+    parser.add_argument(
+        "--config",
+        default=None,
+        help="sweep YAML (wandb schema ok); omit under a wandb sweep agent",
+    )
     parser.add_argument("--grid-index", type=int, default=None)
     parser.add_argument("--data-path", default=None)
     parser.add_argument("--output-dir", default=None)
@@ -312,6 +336,16 @@ def main(argv=None) -> None:
     from im2im_uq_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.config is None:
+        config = _wandb_agent_config()
+        if config is None:
+            parser.error("--config is required outside a wandb sweep agent")
+        if args.data_path:
+            config["data_path"] = args.data_path
+        if args.output_dir:
+            config["output_dir"] = args.output_dir
+        run_experiment(config)
+        return
     grid = load_config(args.config, args.grid_index)
     print(f"{len(grid)} grid point(s).")
     for i, config in enumerate(grid):

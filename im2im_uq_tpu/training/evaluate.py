@@ -70,8 +70,15 @@ def get_images(
     if not hasattr(dataset, "__getitem__"):
         # iterable datasets (TEMCA stream): materialize the first examples
         # (reference eval.py:40-44 does the same via iter())
+        # cap at stream length: a stream shorter than the requested indices
+        # must not kill the final artifact step
         it = iter(dataset)
-        examples = [next(it) for _ in range(max(indices) + 1)]
+        examples = []
+        for _ in range(max(indices) + 1):
+            try:
+                examples.append(next(it))
+            except StopIteration:
+                break
         if hasattr(dataset, "reset"):
             dataset.reset()
         dataset = examples

@@ -16,6 +16,8 @@ from im2im_uq_tpu.data.synthetic import SyntheticDataset
 from im2im_uq_tpu.training.train import PreemptionInterrupt, train_net
 from im2im_uq_tpu.utils.cache import enable_compilation_cache
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 enable_compilation_cache()
 
 BASE_CFG = {

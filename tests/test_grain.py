@@ -10,6 +10,8 @@ pytest.importorskip("grain")
 from im2im_uq_tpu.data.grain_pipeline import grain_batches
 from im2im_uq_tpu.data.synthetic import SyntheticDataset
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 
 def test_grain_batches_contract():
     ds = SyntheticDataset(num_examples=10, image_size=16)

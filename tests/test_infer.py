@@ -21,6 +21,8 @@ from im2im_uq_tpu.training.checkpoint import checkpoint_path, save_checkpoint
 from im2im_uq_tpu.training.train import TrainState
 from im2im_uq_tpu.utils.cache import enable_compilation_cache
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 enable_compilation_cache()
 
 CFG = {

@@ -23,6 +23,8 @@ from core.models.trunks.unet import UNet as RefUNet  # noqa: E402
 
 from im2im_uq_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 enable_compilation_cache()
 
 

@@ -10,6 +10,8 @@ from im2im_uq_tpu.models.resnet import ResNet18
 from im2im_uq_tpu.models.unet import UNet, UpNoSkip, WNet, conv_kernel_init
 from im2im_uq_tpu.ops.resize import resize_bilinear_align_corners
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 
 def test_unet_feature_contract():
     m = UNet()

@@ -23,6 +23,8 @@ from im2im_uq_tpu.ops.mri_pipeline import (
 )
 from im2im_uq_tpu.utils.cache import enable_compilation_cache
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 enable_compilation_cache()
 
 

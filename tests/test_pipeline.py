@@ -12,6 +12,8 @@ import pytest
 
 from im2im_uq_tpu.utils.cache import enable_compilation_cache
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 enable_compilation_cache()
 
 CONFIG = {

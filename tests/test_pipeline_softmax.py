@@ -4,6 +4,9 @@ differ from the quantile path exercised in test_pipeline.py)."""
 import numpy as np
 
 from im2im_uq_tpu.utils.cache import enable_compilation_cache
+import pytest
+
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
 
 enable_compilation_cache()
 

@@ -31,6 +31,8 @@ from im2im_uq_tpu.interop.torch_import import (  # noqa: E402
 from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk  # noqa: E402
 from im2im_uq_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
+pytestmark = pytest.mark.full  # compile-heavy: excluded from -m smoke
+
 enable_compilation_cache()
 
 QPARAMS = {
