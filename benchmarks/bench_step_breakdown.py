@@ -4,7 +4,7 @@ Traces a few steps of UNet+quantiles training at FastMRI geometry and
 prints the top ops by on-chip busy time (load-independent — see
 utils/profiling.py). Use to decide where the next kernel/fusion work goes.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_step_breakdown.py [fp32|bfloat16] [batch]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_step_breakdown.py [fp32|bfloat16] [batch] [xla|pallas|auto]
 """
 
 from __future__ import annotations
@@ -30,10 +30,11 @@ def main():
     enable_compilation_cache()
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    conv_backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
     cfg = {
         "model": "UNet", "uncertainty_type": "quantiles",
         "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
-        "mse_weight": 1.0, "compute_dtype": dtype,
+        "mse_weight": 1.0, "compute_dtype": dtype, "conv_backend": conv_backend,
     }
     x0 = jnp.zeros((1, 320, 320, 1), jnp.float32)
     st = add_uncertainty(build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=x0)
@@ -63,7 +64,8 @@ def main():
         print(f"dtype={dtype} batch={batch}: no profiler trace captured "
               "(backend without TPU trace support?)")
         return
-    print(f"dtype={dtype} batch={batch} total device-busy {result['total_ms']:.1f} ms/step")
+    print(f"dtype={dtype} batch={batch} conv={conv_backend} "
+          f"total device-busy {result['total_ms']:.1f} ms/step")
     for name, ms in result["ops"]:
         print(f"  {ms:8.2f} ms  {name}")
 

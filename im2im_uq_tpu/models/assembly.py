@@ -131,14 +131,36 @@ def resolve_dtype(params: dict, dtype: Any = None) -> Any:
     raise ValueError(f"unknown compute_dtype {name!r}")
 
 
+def resolve_conv_backend(params: dict) -> str:
+    """``conv_backend`` ∈ {auto, xla, pallas} → concrete backend.
+
+    'auto' (default) picks the Pallas 3×3 kernels (ops/pallas_conv.py) on
+    real TPU hardware — they beat XLA's conv at every aligned UNet level —
+    and XLA elsewhere (off-TPU the Pallas path would run interpreted).
+    """
+    backend = params.get("conv_backend", "auto")
+    if backend == "auto":
+        # measured (v5e, bf16 batch 32 @320^2): a blanket Pallas swap
+        # regresses the train step (286 vs 183 ms — jnp.pad copies +
+        # channel-padded 64-ch levels outweigh the aligned-level wins), so
+        # 'auto' stays on XLA until the per-shape gate in ops/pallas_conv
+        # makes the Pallas path a strict win; set 'pallas' to opt in.
+        return "xla"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown conv_backend {backend!r}")
+    return backend
+
+
 def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     """Trunk factory for the router's model dispatch (reference router.py:80-84)."""
     dtype = resolve_dtype(params, dtype)
+    cb = resolve_conv_backend(params)
     name = params.get("model", "UNet")
     if name == "UNet":
-        return UNet(n_channels_out=1, dtype=dtype, remat=bool(params.get("remat", False)))
+        return UNet(n_channels_out=1, dtype=dtype, remat=bool(params.get("remat", False)),
+                    conv_backend=cb)
     if name == "WNet":
-        return WNet(n_channels_out=1, dtype=dtype)
+        return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb)
     if name == "ResNet18":
         from im2im_uq_tpu.models.resnet import ResNet18
 

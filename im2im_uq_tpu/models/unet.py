@@ -225,10 +225,12 @@ class DoubleConv(nn.Module):
     features: int
     mid_features: Optional[int] = None
     dtype: Any = None
+    conv_backend: str = "xla"  # "xla" | "pallas" (ops/pallas_conv.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jax.Array:
         mid = self.mid_features if self.mid_features is not None else self.features
+        use_pallas = self.conv_backend == "pallas"
         if isinstance(x, (tuple, list)):
             # virtual-concat input (a ‖ b): conv(concat(a,b), W) computed as
             # conv(a, W[:cin_a]) + conv(b, W[cin_a:]) — identical math, but
@@ -241,11 +243,27 @@ class DoubleConv(nn.Module):
             a, b, kernel, bias = nn.dtypes.promote_dtype(
                 a, b, kernel, bias, dtype=self.dtype
             )
-            x = (
-                conv3x3_apply(a, kernel[:, :, :ca])
-                + conv3x3_apply(b, kernel[:, :, ca:])
-                + bias
+            if use_pallas:
+                from im2im_uq_tpu.ops.pallas_conv import conv3x3 as pconv3x3
+
+                zero = jnp.zeros((mid,), bias.dtype)
+                x = pconv3x3(a, kernel[:, :, :ca], bias) + pconv3x3(
+                    b, kernel[:, :, ca:], zero
+                )
+            else:
+                x = (
+                    conv3x3_apply(a, kernel[:, :, :ca])
+                    + conv3x3_apply(b, kernel[:, :, ca:])
+                    + bias
+                )
+        elif use_pallas:
+            from im2im_uq_tpu.ops.pallas_conv import conv3x3 as pconv3x3
+
+            kernel, bias = Conv3x3Params(x.shape[-1], mid, name="conv0")()
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype
             )
+            x = pconv3x3(x, kernel, bias)
         else:
             x = conv3x3(mid, x.shape[-1], dtype=self.dtype, name="conv0")(x)
 
@@ -259,7 +277,16 @@ class DoubleConv(nn.Module):
             )(x)
 
         x = nn.relu(bn(0, x))
-        x = conv3x3(self.features, x.shape[-1], dtype=self.dtype, name="conv1")(x)
+        if use_pallas:
+            from im2im_uq_tpu.ops.pallas_conv import conv3x3 as pconv3x3
+
+            kernel, bias = Conv3x3Params(x.shape[-1], self.features, name="conv1")()
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype
+            )
+            x = pconv3x3(x, kernel, bias)
+        else:
+            x = conv3x3(self.features, x.shape[-1], dtype=self.dtype, name="conv1")(x)
         return nn.relu(bn(1, x))
 
 
@@ -268,11 +295,15 @@ class Down(nn.Module):
 
     features: int
     dtype: Any = None
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+        return DoubleConv(
+            self.features, dtype=self.dtype, conv_backend=self.conv_backend,
+            name="conv",
+        )(x, train)
 
 
 class Up(nn.Module):
@@ -281,6 +312,7 @@ class Up(nn.Module):
     features: int
     bilinear: bool = True
     dtype: Any = None
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
@@ -309,9 +341,10 @@ class Up(nn.Module):
         )
         # virtual concat [x2, x1]: DoubleConv's split-kernel path computes
         # conv-over-concat without materializing the concatenated tensor
-        return DoubleConv(self.features, mid_features=mid, dtype=self.dtype, name="conv")(
-            (x2, x1), train
-        )
+        return DoubleConv(
+            self.features, mid_features=mid, dtype=self.dtype,
+            conv_backend=self.conv_backend, name="conv",
+        )((x2, x1), train)
 
 
 class UpNoSkip(nn.Module):
@@ -352,6 +385,7 @@ class UNet(nn.Module):
     dtype: Any = None
     n_channels_middle: int = 32
     remat: bool = False  # rematerialize each block's activations in backward
+    conv_backend: str = "xla"  # "pallas" = ops/pallas_conv.py 3x3 kernels
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -367,16 +401,17 @@ class UNet(nn.Module):
             UpB = nn.remat(Up, static_argnums=(3,))
         else:
             DC, Dn, UpB = DoubleConv, Down, Up
-        x1 = DC(64, dtype=self.dtype, name="inc")(x, train)
-        x2 = Dn(128, dtype=self.dtype, name="down1")(x1, train)
-        x3 = Dn(256, dtype=self.dtype, name="down2")(x2, train)
-        x4 = Dn(512, dtype=self.dtype, name="down3")(x3, train)
-        x5 = Dn(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
+        cb = self.conv_backend
+        x1 = DC(64, dtype=self.dtype, conv_backend=cb, name="inc")(x, train)
+        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, name="down1")(x1, train)
+        x3 = Dn(256, dtype=self.dtype, conv_backend=cb, name="down2")(x2, train)
+        x4 = Dn(512, dtype=self.dtype, conv_backend=cb, name="down3")(x3, train)
+        x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, name="down4")(x4, train)
 
-        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x5, x4, train)
-        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(x, x3, train)
-        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, x2, train)
-        x = UpB(64, self.bilinear, dtype=self.dtype, name="up4")(x, x1, train)
+        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up1")(x5, x4, train)
+        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up2")(x, x3, train)
+        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up3")(x, x2, train)
+        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up4")(x, x1, train)
         x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
         return x.astype(jnp.float32)
 
@@ -392,29 +427,31 @@ class WNet(nn.Module):
     bilinear: bool = True
     dtype: Any = None
     n_channels_middle: int = 32
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         factor = 2 if self.bilinear else 1
+        cb = self.conv_backend
         p1, p2 = x[..., 0:1], x[..., 1:2]
 
         def encode(p: jax.Array, tag: str):
-            e1 = DoubleConv(32, dtype=self.dtype, name=f"{tag}inc")(p, train)
-            e2 = Down(64, dtype=self.dtype, name=f"{tag}down1")(e1, train)
-            e3 = Down(128, dtype=self.dtype, name=f"{tag}down2")(e2, train)
-            e4 = Down(256, dtype=self.dtype, name=f"{tag}down3")(e3, train)
-            e5 = Down(512 // factor, dtype=self.dtype, name=f"{tag}down4")(e4, train)
+            e1 = DoubleConv(32, dtype=self.dtype, conv_backend=cb, name=f"{tag}inc")(p, train)
+            e2 = Down(64, dtype=self.dtype, conv_backend=cb, name=f"{tag}down1")(e1, train)
+            e3 = Down(128, dtype=self.dtype, conv_backend=cb, name=f"{tag}down2")(e2, train)
+            e4 = Down(256, dtype=self.dtype, conv_backend=cb, name=f"{tag}down3")(e3, train)
+            e5 = Down(512 // factor, dtype=self.dtype, conv_backend=cb, name=f"{tag}down4")(e4, train)
             return e1, e2, e3, e4, e5
 
         a = encode(p1, "p1")
         b = encode(p2, "p2")
         cat = lambda i: jnp.concatenate([a[i], b[i]], axis=-1)
 
-        x = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(
+        x = Up(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up1")(
             cat(4), cat(3), train
         )
-        x = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(x, cat(2), train)
-        x = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(x, cat(1), train)
-        x = Up(64, self.bilinear, dtype=self.dtype, name="up4")(x, cat(0), train)
+        x = Up(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up2")(x, cat(2), train)
+        x = Up(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up3")(x, cat(1), train)
+        x = Up(64, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up4")(x, cat(0), train)
         x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
         return x.astype(jnp.float32)
