@@ -233,6 +233,138 @@ def conv3x3_pallas_l1(x, kernel, interpret=False):
     return out[:, :h]
 
 
+def _conv_kernel_c64(
+    x_hbm, m0_ref, m1_ref, b_ref, out_ref, scratch, sems,
+    *, th, w, wp, cout, n_tiles,
+):
+    """Width-pair-packed C=64 kernel: adjacent width columns share a
+    128-lane group, so a 64-channel conv runs on full MXU lanes with no
+    channel padding and no misaligned slicing.
+
+    Output pair O_k = (out[2k], out[2k+1]) depends only on input pairs
+    P_k, P_{k+1} (both 128-lane aligned views):
+        O_k = Σ_dh P_k(dh) @ M0(dh) + P_{k+1}(dh) @ M1(dh)
+    where M0 = [[W0, 0], [W1, W0]], M1 = [[W2, W1], [0, W2]] are (128,
+    2·cout) block matrices built from the (64, cout) taps W0/W1/W2 of row
+    dh. FLOPs = 4/3 of the ideal 64-ch conv (vs 2× for channel padding),
+    traffic = unpadded.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def copy(tile, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile * th, th + 2)], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(t + 1, nxt).start()
+
+    copy(t, slot).wait()
+    x3 = scratch[slot]  # (th+2, wp/2, 128): width-pairs on sublanes
+    acc = jnp.zeros((th * (w // 2), 2 * cout), jnp.float32)
+    for dh in range(3):
+        rows = x3[dh : dh + th]  # (th, wp/2, 128) — leading-dim slice only
+        p_cur = rows[:, 0 : w // 2, :].reshape(th * (w // 2), 128)
+        p_nxt = rows[:, 1 : w // 2 + 1, :].reshape(th * (w // 2), 128)
+        dn = (((1,), (0,)), ((), ()))
+        acc += jax.lax.dot_general(
+            p_cur, m0_ref[dh], dn, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            p_nxt, m1_ref[dh], dn, preferred_element_type=jnp.float32
+        )
+    acc += b_ref[0].astype(jnp.float32)
+    # output stays pair-packed ((w/2, 2*cout) minor) — unpacking to
+    # (w, cout) inside the kernel is a lane-splitting cast Mosaic rejects;
+    # the host reshape after pallas_call is a free row-major view
+    out_ref[:] = acc.reshape(1, th, w // 2, 2 * cout).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_pallas_c64(x, kernel, interpret=False):
+    """NHWC 3×3 conv for Cin=64 via width-pair lane packing (see kernel)."""
+    bsz, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    assert cin == 64 and w % 2 == 0 and h % ROW_TILE == 0
+    # wp/2 width-pairs ride the sublane dim of the DMA'd block, so wp/2
+    # must be 8-aligned (Mosaic tiling) => wp multiple of 16
+    wp = -(-(w + 2) // 16) * 16
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    # width-pair packing: adjacent columns share one 128-lane group; the
+    # scratch is DMA'd in this 3D tiling directly so the kernel never
+    # needs a sublane-moving reshape (Mosaic rejects those)
+    xflat = xp.reshape(bsz, h + 2, wp // 2, 128)
+    # block matrices per tap row: M0 = [[W0, 0], [W1, W0]], M1 = [[W2, W1], [0, W2]]
+    z = jnp.zeros((64, cout), kernel.dtype)
+    m0 = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([kernel[dh, 0], z], axis=1),
+                    jnp.concatenate([kernel[dh, 1], kernel[dh, 0]], axis=1),
+                ],
+                axis=0,
+            )
+            for dh in range(3)
+        ]
+    )
+    m1 = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([kernel[dh, 2], kernel[dh, 1]], axis=1),
+                    jnp.concatenate([z, kernel[dh, 2]], axis=1),
+                ],
+                axis=0,
+            )
+            for dh in range(3)
+        ]
+    )
+    bias2 = jnp.zeros((1, 2 * cout), kernel.dtype)
+    th = 16 if h % 16 == 0 else ROW_TILE
+    kfn = functools.partial(
+        _conv_kernel_c64, th=th, w=w, wp=wp, cout=cout,
+        n_tiles=h // th,
+    )
+    return pl.pallas_call(
+        kfn,
+        grid=(bsz, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 128, 2 * cout), lambda b, t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 128, 2 * cout), lambda b, t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * cout), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w // 2, 2 * cout), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w // 2, 2 * cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp // 2, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xflat, m0, m1, bias2).reshape(bsz, h, w, cout)
+
+
 @jax.jit
 def conv3x3_xla(x, kernel):
     return jax.lax.conv_general_dilated(
@@ -276,6 +408,8 @@ def main():
     variants = [("xla", conv3x3_xla)]
     if cin % 128 == 0:
         variants += [("pallas", conv3x3_pallas), ("pallas-db", conv3x3_pallas_db)]
+    elif cin == 64:
+        variants += [("pallas-c64", conv3x3_pallas_c64)]
     else:
         variants += [("pallas-l1", conv3x3_pallas_l1)]
     for name, fn in variants:

@@ -146,7 +146,7 @@ def resolve_conv_backend(params: dict) -> str:
         # 'auto' stays on XLA until the per-shape gate in ops/pallas_conv
         # makes the Pallas path a strict win; set 'pallas' to opt in.
         return "xla"
-    if backend not in ("xla", "pallas"):
+    if backend not in ("xla", "pallas", "pallas_fused"):
         raise ValueError(f"unknown conv_backend {backend!r}")
     return backend
 

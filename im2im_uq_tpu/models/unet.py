@@ -209,6 +209,57 @@ def max_pool2x2(x: jax.Array) -> jax.Array:
     return jnp.max(x, axis=(2, 4))
 
 
+class FusedBN(nn.Module):
+    """BatchNorm bookkeeping for the fused-conv path (same tree as flax BN).
+
+    Declares the exact parameter/variable names and shapes of
+    ``TorchBatchNorm`` (params: scale, bias; batch_stats: mean, var) so
+    checkpoints are interchangeable between conv backends, but the
+    normalization itself never runs here: it is folded into the NEXT
+    Pallas conv's prologue as a per-channel (scale, shift) pair. The
+    running-stat update keeps torch's unbiased-variance semantics
+    (TorchBatchNorm docstring; reference unet_parts.py:13-24).
+
+    ``__call__`` takes this BN's input-tensor per-channel sums/sumsqs (the
+    fused conv's epilogue output) and the reduction count n, and returns
+    the folded (scale, shift).
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, sums, sumsqs, n, train: bool = False):
+        scale_p = self.param("scale", nn.initializers.ones, (self.features,))
+        bias_p = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,),
+        )
+        if train:
+            mean = sums / n
+            var = sumsqs / n - mean * mean  # flax use_fast_variance form
+            if not self.is_initializing():
+                bessel = n / (n - 1) if n > 1 else 1.0
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum)
+                    * jax.lax.stop_gradient(mean)
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum)
+                    * jax.lax.stop_gradient(var) * bessel
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        s = scale_p * jax.lax.rsqrt(var + self.epsilon)
+        return s, bias_p - mean * s
+
+
 class DoubleConv(nn.Module):
     """(conv3x3 → BN → ReLU) × 2 (reference unet_parts.py:8-25).
 
@@ -225,11 +276,15 @@ class DoubleConv(nn.Module):
     features: int
     mid_features: Optional[int] = None
     dtype: Any = None
-    conv_backend: str = "xla"  # "xla" | "pallas" (ops/pallas_conv.py)
+    # "xla" | "pallas" (plain kernel swap) | "pallas_fused" (BN+ReLU folded
+    # into the conv kernels' prologue/epilogue — see ops/pallas_conv.py)
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jax.Array:
         mid = self.mid_features if self.mid_features is not None else self.features
+        if self.conv_backend == "pallas_fused":
+            return self._fused(x, mid, train)
         use_pallas = self.conv_backend == "pallas"
         if isinstance(x, (tuple, list)):
             # virtual-concat input (a ‖ b): conv(concat(a,b), W) computed as
@@ -288,6 +343,72 @@ class DoubleConv(nn.Module):
         else:
             x = conv3x3(self.features, x.shape[-1], dtype=self.dtype, name="conv1")(x)
         return nn.relu(bn(1, x))
+
+    def _fused(self, x, mid: int, train: bool) -> jax.Array:
+        """Fused-kernel DoubleConv: the two BN+ReLU stages never touch HBM
+        as separate passes. conv0 emits its per-channel stats from its
+        epilogue; bn0's folded affine + ReLU ride conv1's prologue; only
+        bn1's apply remains as (XLA-fused) elementwise work. Parameter and
+        batch-stats trees are identical to the unfused path (Conv3x3Params
+        + FusedBN name/shape contracts), so checkpoints are backend-
+        portable.
+        """
+        from im2im_uq_tpu.ops.pallas_conv import conv3x3 as pconv3x3
+        from im2im_uq_tpu.ops.pallas_conv import conv3x3_bn_act
+
+        k0, b0 = (
+            Conv3x3Params(
+                (x[0].shape[-1] + x[1].shape[-1])
+                if isinstance(x, (tuple, list))
+                else x.shape[-1],
+                mid,
+                name="conv0",
+            )()
+        )
+        if isinstance(x, (tuple, list)):
+            # virtual-concat conv0: stats of (conv_a + conv_b) are not the
+            # sum of per-part stats (Σ(y_a+y_b)² ≠ Σy_a²+Σy_b²), so the
+            # parts use the plain kernel and the stats reduce in XLA
+            a, b = x
+            ca = a.shape[-1]
+            a, b, k0, b0 = nn.dtypes.promote_dtype(a, b, k0, b0, dtype=self.dtype)
+            zero = jnp.zeros((mid,), b0.dtype)
+            y0 = pconv3x3(a, k0[:, :, :ca], b0) + pconv3x3(b, k0[:, :, ca:], zero)
+            if train:
+                y0f = y0.astype(jnp.float32)
+                s0 = jnp.sum(y0f, axis=(0, 1, 2))
+                q0 = jnp.sum(y0f * y0f, axis=(0, 1, 2))
+            else:
+                s0 = q0 = jnp.zeros((mid,), jnp.float32)
+        else:
+            x, k0, b0 = nn.dtypes.promote_dtype(x, k0, b0, dtype=self.dtype)
+            y0, st0 = conv3x3_bn_act(
+                x, k0, b0, jnp.ones((x.shape[-1],), jnp.float32),
+                jnp.zeros((x.shape[-1],), jnp.float32),
+                prologue=False, stats=train,
+            )
+            if train:
+                s0, q0 = st0[:, 0].sum(0), st0[:, 1].sum(0)
+            else:
+                s0 = q0 = jnp.zeros((mid,), jnp.float32)
+        n0 = y0.shape[0] * y0.shape[1] * y0.shape[2]
+        scale0, shift0 = FusedBN(mid, name="bn0")(s0, q0, n0, train)
+
+        k1, b1 = Conv3x3Params(mid, self.features, name="conv1")()
+        _, k1, b1 = nn.dtypes.promote_dtype(y0, k1, b1, dtype=self.dtype)
+        y1, st1 = conv3x3_bn_act(
+            y0, k1, b1, scale0, shift0, prologue=True, stats=train
+        )
+        if train:
+            s1, q1 = st1[:, 0].sum(0), st1[:, 1].sum(0)
+        else:
+            s1 = q1 = jnp.zeros((self.features,), jnp.float32)
+        n1 = y1.shape[0] * y1.shape[1] * y1.shape[2]
+        scale1, shift1 = FusedBN(self.features, name="bn1")(s1, q1, n1, train)
+        out = jnp.maximum(
+            y1.astype(jnp.float32) * scale1 + shift1, 0.0
+        )
+        return out.astype(y1.dtype)
 
 
 class Down(nn.Module):

@@ -103,6 +103,77 @@ def _conv_kernel_db(
     out_ref[:] = acc.reshape(1, th, w, cout).astype(out_ref.dtype)
 
 
+def _conv_kernel_fused(
+    x_hbm, w_ref, b_ref, ps_ref, out_ref, stats_ref, scratch, sems,
+    *, th, w, h, wp, cin, cout, n_tiles, prologue, stats,
+):
+    """Fused variant: [BN-apply + ReLU prologue] → 3×3 conv → [per-channel
+    sum/sumsq epilogue].
+
+    The prologue applies the PREVIOUS BatchNorm's folded affine + ReLU to
+    the input tile in VMEM (the normalized activation tensor never exists
+    in HBM); a border mask keeps the conv's zero padding zero. The epilogue
+    accumulates this conv's per-(batch, channel) output sums and
+    sum-of-squares into a small revisited block — the input of the NEXT
+    BatchNorm — so the full-tensor stats reduction pass disappears.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def copy(tile, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile * th, th + 2)], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(t + 1, nxt).start()
+
+    copy(t, slot).wait()
+    x = scratch[slot]  # (th+2, wp, cin), rows t*th .. t*th+th+1 of padded
+    if prologue:
+        scale = ps_ref[0].astype(jnp.float32)
+        shift = ps_ref[1].astype(jnp.float32)
+        u = jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0)
+        # the padded frame must stay zero after the affine (+shift ≠ 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0) + t * th
+        cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+        border = (rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= w)
+        x = jnp.where(border, u, 0.0).astype(x.dtype)
+    acc = jnp.zeros((th * w, cout), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            xs = x[dh : dh + th, dw : dw + w, :].reshape(th * w, cin)
+            acc += jax.lax.dot_general(
+                xs,
+                w_ref[dh, dw],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc += b_ref[0].astype(jnp.float32)
+    ob = acc.astype(out_ref.dtype)
+    out_ref[:] = ob.reshape(1, th, w, cout)
+    if stats:
+        of = ob.astype(jnp.float32)  # stats over the values actually stored
+
+        @pl.when(t == 0)
+        def _():
+            stats_ref[0, 0] = jnp.sum(of, axis=0)
+            stats_ref[0, 1] = jnp.sum(of * of, axis=0)
+
+        @pl.when(t != 0)
+        def _():
+            stats_ref[0, 0] += jnp.sum(of, axis=0)
+            stats_ref[0, 1] += jnp.sum(of * of, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def conv3x3_pallas_raw(x, kernel, bias, interpret=False):
     """NHWC 3×3 same-padding conv + bias via the double-buffered kernel.
@@ -145,6 +216,191 @@ def conv3x3_pallas_raw(x, kernel, bias, interpret=False):
     )(xp, kernel, bias.reshape(1, cout).astype(kernel.dtype))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("prologue", "stats", "interpret")
+)
+def _conv3x3_fused_raw(x, kernel, bias, ps, prologue, stats, interpret=False):
+    """Pallas call for the fused [BN+ReLU] → conv → [stats] kernel.
+
+    ``ps`` is the (2, cin) folded prologue (scale; shift). Returns
+    (y, stats) with stats (B, 2, cout) per-batch partial sums (garbage when
+    ``stats`` is False — the caller discards it).
+    """
+    bsz, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    th = _pick_row_tile(h)
+    assert th is not None and cin % LANE == 0, (x.shape, kernel.shape)
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    kfn = functools.partial(
+        _conv_kernel_fused, th=th, w=w, h=h, wp=wp, cin=cin, cout=cout,
+        n_tiles=h // th, prologue=prologue, stats=stats,
+    )
+    y, st = pl.pallas_call(
+        kfn,
+        grid=(bsz, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (3, 3, cin, cout), lambda b, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cout), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, cin), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th, w, cout), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # revisited across t: the per-batch stats block stays in VMEM
+            # for a whole batch row of the grid
+            pl.BlockSpec(
+                (1, 2, cout), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
+            jax.ShapeDtypeStruct((bsz, 2, cout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, kernel, bias.reshape(1, cout).astype(kernel.dtype),
+      ps.astype(jnp.float32))
+    return y, st
+
+
+def _fused_eligible(x, kernel):
+    cin = x.shape[-1]
+    if cin % LANE != 0 and cin < LANE // 2:
+        return False
+    pad_c = -(-cin // LANE) * LANE
+    return pallas_conv_eligible(
+        (x.shape[0], x.shape[1], x.shape[2], pad_c), pad_c, x.dtype
+    )
+
+
+def _fused_fwd_impl(x, kernel, bias, scale, shift, prologue, stats, interpret):
+    """Dispatch: Pallas fused kernel when eligible, XLA composition else."""
+    if _fused_eligible(x, kernel):
+        cin = x.shape[-1]
+        xp, kp = _pad_channels(x, kernel, cin)
+        if prologue:
+            pad = xp.shape[-1] - cin
+            ps = jnp.stack([
+                jnp.pad(scale.astype(jnp.float32), (0, pad)),
+                jnp.pad(shift.astype(jnp.float32), (0, pad)),
+            ])
+        else:
+            ps = jnp.zeros((2, xp.shape[-1]), jnp.float32)
+        y, st = _conv3x3_fused_raw(
+            xp, kp, bias, ps, prologue, stats,
+            interpret=interpret or not _on_tpu(),
+        )
+        return y, st
+    # XLA fallback: same math, composed ops
+    a = x
+    if prologue:
+        a = jnp.maximum(
+            a.astype(jnp.float32) * scale.astype(jnp.float32)
+            + shift.astype(jnp.float32),
+            0.0,
+        ).astype(x.dtype)
+    y = _conv3x3_xla(a, kernel, bias)
+    if stats:
+        yf = y.astype(jnp.float32)
+        st = jnp.stack(
+            [jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))], axis=1
+        )
+    else:
+        st = jnp.zeros((x.shape[0], 2, kernel.shape[-1]), jnp.float32)
+    return y, st
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv3x3_bn_act(
+    x, kernel, bias, scale, shift, prologue=True, stats=True, interpret=False
+):
+    """Fused [BN-apply+ReLU] → conv3x3+bias → [per-channel stats] op.
+
+    The building block of the fused DoubleConv: ``scale``/``shift`` are the
+    previous BatchNorm's folded affine (γ/√(σ²+ε), β−μ·γ/√(σ²+ε));
+    returns (y, stats) where stats[b, 0] = Σ_hw y[b], stats[b, 1] = Σ_hw y²[b]
+    — exactly what the next BatchNorm needs, with no extra HBM pass.
+    Differentiable in x, kernel, bias, scale, shift (gradients flow through
+    the stats outputs too, preserving true batch-norm training dynamics).
+    """
+    return _fused_fwd_impl(
+        x, kernel, bias, scale, shift, prologue, stats, interpret
+    )
+
+
+def _fused_fwd(x, kernel, bias, scale, shift, prologue, stats, interpret):
+    y, st = _fused_fwd_impl(
+        x, kernel, bias, scale, shift, prologue, stats, interpret
+    )
+    return (y, st), (x, kernel, scale, shift, y)
+
+
+def _fused_bwd(prologue, stats, interpret, res, cts):
+    x, kernel, scale, shift, y = res
+    gy, gst = cts
+    # stats outputs: s_b = Σ_hw y, q_b = Σ_hw y² ⇒ dy += gs_b + 2·y·gq_b
+    if stats:
+        gs = gst[:, 0][:, None, None, :]
+        gq = gst[:, 1][:, None, None, :]
+        g_tot = (
+            gy.astype(jnp.float32)
+            + gs
+            + 2.0 * y.astype(jnp.float32) * gq
+        ).astype(gy.dtype)
+    else:
+        g_tot = gy
+    # dgrad through the conv — XLA: its native dgrad beats the Pallas
+    # kernel at UNet shapes (bench_conv_levels.py; the pad copy dominates)
+    wt = jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
+    zero = jnp.zeros((wt.shape[-1],), wt.dtype)
+    da = _conv3x3_xla(g_tot, wt, zero).astype(jnp.float32)
+    if prologue:
+        u = (
+            x.astype(jnp.float32) * scale.astype(jnp.float32)
+            + shift.astype(jnp.float32)
+        )
+        m = (u > 0).astype(jnp.float32)
+        dam = da * m
+        dx = (dam * scale.astype(jnp.float32)).astype(x.dtype)
+        dscale = jnp.sum(dam * x.astype(jnp.float32), axis=(0, 1, 2)).astype(
+            scale.dtype
+        )
+        dshift = jnp.sum(dam, axis=(0, 1, 2)).astype(shift.dtype)
+        a = jnp.maximum(u, 0.0).astype(x.dtype)
+    else:
+        dx = da.astype(x.dtype)
+        dscale = jnp.zeros_like(scale)
+        dshift = jnp.zeros_like(shift)
+        a = x
+    # wgrad over the activated input (dimension-number relabeling, no
+    # physical transposes — see _conv3x3_bwd)
+    apad = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jax.lax.conv_general_dilated(
+        apad, g_tot, (1, 1), "VALID",
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 2, 0, 3).astype(kernel.dtype)
+    db = jnp.sum(g_tot.astype(jnp.float32), axis=(0, 1, 2)).astype(kernel.dtype)
+    return dx, dw, db, dscale, dshift
+
+
+conv3x3_bn_act.defvjp(_fused_fwd, _fused_bwd)
+
+
 def _conv3x3_xla(x, kernel, bias):
     out = jax.lax.conv_general_dilated(
         x,
@@ -182,13 +438,24 @@ def _on_tpu() -> bool:
         return False
 
 
+def _plain_profitable(shape, cout: int) -> bool:
+    """Measured gate for the PLAIN conv swap (benchmarks/bench_conv_levels,
+    v5e bf16 batch 32): Pallas beats XLA's forward conv only at 128-aligned
+    channels and 40 ≤ H ≤ 160 (the 20² level and the channel-padded 64-ch
+    levels lose; at 320² the jnp.pad copy alone erases the win)."""
+    _, h, w, cin = shape
+    return cin % LANE == 0 and cout % LANE == 0 and 40 <= h <= 160
+
+
 def _conv3x3_fwd_impl(x, kernel, bias, interpret):
     cin = x.shape[-1]
-    xp, kp = _pad_channels(x, kernel, cin)
-    if pallas_conv_eligible(xp.shape, xp.shape[-1], xp.dtype):
+    cout = kernel.shape[-1]
+    if pallas_conv_eligible(x.shape, cin, x.dtype) and _plain_profitable(
+        x.shape, cout
+    ):
         # off-TPU (CPU-mesh tests, dryrun) the kernel runs interpreted —
         # same numerics, no Mosaic compile
-        return conv3x3_pallas_raw(xp, kp, bias, interpret=interpret or not _on_tpu())
+        return conv3x3_pallas_raw(x, kernel, bias, interpret=interpret or not _on_tpu())
     return _conv3x3_xla(x, kernel, bias)
 
 
@@ -209,11 +476,13 @@ def _conv3x3_fwd(x, kernel, bias, interpret):
 
 def _conv3x3_bwd(interpret, res, g):
     x, kernel = res
-    # dL/dx: conv of g with the spatially-flipped kernel, cin/cout swapped —
-    # routed through the same impl, so it rides the Pallas kernel too
+    # dL/dx: conv of g with the spatially-flipped kernel, cin/cout swapped.
+    # Stays on XLA deliberately: the Pallas kernel's jnp.pad copy makes it
+    # ~1.5 ms/conv SLOWER than XLA's native dgrad at UNet shapes
+    # (benchmarks/bench_conv_levels.py).
     wt = jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
     zero = jnp.zeros((wt.shape[-1],), wt.dtype)
-    dx = _conv3x3_fwd_impl(g, wt, zero, interpret).astype(x.dtype)
+    dx = _conv3x3_xla(g, wt, zero).astype(x.dtype)
     # dL/dw: wgrad as a conv contracting over (B, H, W). Dimension-number
     # strings relabel the physical NHWC tensors in place (Cin as the lhs
     # batch dim, B as its feature dim; B as the rhs input-feature dim) so

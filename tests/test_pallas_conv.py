@@ -39,10 +39,11 @@ def _mk(b, h, w, cin, cout, seed=0, dtype=jnp.float32):
 @pytest.mark.parametrize(
     "shape",
     [
-        (2, 16, 16, 128, 128),  # aligned: direct Pallas path
-        (2, 16, 16, 128, 64),   # aligned in, narrow out
-        (2, 16, 16, 64, 64),    # channel-pad path (64 → 128 lanes)
-        (2, 20, 20, 128, 128),  # th=10 row tile
+        (2, 40, 40, 128, 128),  # gated-in: direct Pallas path (th=8)
+        (2, 80, 80, 128, 128),  # gated-in Pallas
+        (2, 16, 16, 128, 64),   # gated-out (narrow out / small H): XLA
+        (2, 16, 16, 64, 64),    # gated-out: XLA
+        (2, 20, 20, 128, 128),  # gated-out (20^2 loses on hardware): XLA
     ],
 )
 def test_forward_parity(shape):
@@ -73,10 +74,12 @@ def test_fallback_small_cin():
 
 @pytest.mark.parametrize("cin,cout", [(128, 128), (64, 128), (128, 64)])
 def test_gradient_parity(cin, cout):
-    x, k, bias = _mk(2, 16, 16, cin, cout, seed=1)
+    # h=40 puts (128,128) on the gated-in Pallas path; the others exercise
+    # the XLA fallback through the same custom VJP
+    x, k, bias = _mk(2, 40, 40, cin, cout, seed=1)
     rng = np.random.RandomState(2)
     # non-trivial cotangent via a weighted sum
-    wgt = jnp.asarray(rng.randn(2, 16, 16, cout), jnp.float32)
+    wgt = jnp.asarray(rng.randn(2, 40, 40, cout), jnp.float32)
 
     def loss_p(x, k, b):
         return jnp.sum(conv3x3(x, k, b) * wgt)
@@ -112,6 +115,160 @@ def test_unet_backend_equivalence():
     np.testing.assert_allclose(
         np.asarray(out_x), np.asarray(out_p), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fused_op_matches_composition():
+    """conv3x3_bn_act == relu(scale·x+shift) → conv+bias, with correct stats."""
+    from im2im_uq_tpu.ops.pallas_conv import conv3x3_bn_act
+
+    x, k, bias = _mk(2, 16, 16, 128, 128, seed=3)
+    rng = np.random.RandomState(4)
+    scale = jnp.asarray(np.abs(rng.randn(128)) + 0.5, jnp.float32)
+    shift = jnp.asarray(0.3 * rng.randn(128), jnp.float32)
+
+    y, st = conv3x3_bn_act(x, k, bias, scale, shift, True, True)
+    a = jnp.maximum(x * scale + shift, 0.0)
+    want = _xla_conv(a, k, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=2e-5, atol=2e-5)
+    wf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(st[:, 0]), wf.sum((1, 2)), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(st[:, 1]), (wf * wf).sum((1, 2)), rtol=1e-4, atol=1e-2
+    )
+
+
+def test_fused_op_gradients():
+    """VJP of the fused op (incl. through the stats outputs) matches XLA."""
+    from im2im_uq_tpu.ops.pallas_conv import conv3x3_bn_act
+
+    x, k, bias = _mk(2, 16, 16, 128, 64, seed=5)
+    rng = np.random.RandomState(6)
+    scale = jnp.asarray(np.abs(rng.randn(128)) + 0.5, jnp.float32)
+    shift = jnp.asarray(0.3 * rng.randn(128), jnp.float32)
+    wy = jnp.asarray(rng.randn(2, 16, 16, 64), jnp.float32)
+    ws = jnp.asarray(rng.randn(2, 2, 64), jnp.float32)
+
+    def loss_fused(x, k, b, sc, sh):
+        y, st = conv3x3_bn_act(x, k, b, sc, sh, True, True)
+        return jnp.sum(y * wy) + jnp.sum(st * ws)
+
+    def loss_ref(x, k, b, sc, sh):
+        a = jnp.maximum(x * sc + sh, 0.0)
+        y = _xla_conv(a, k, b)
+        yf = y.astype(jnp.float32)
+        st = jnp.stack([yf.sum((1, 2)), (yf * yf).sum((1, 2))], axis=1)
+        return jnp.sum(y * wy) + jnp.sum(st * ws)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, k, bias, scale, shift)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, k, bias, scale, shift)
+    for a, b_, nm in zip(gf, gr, ["dx", "dw", "db", "dscale", "dshift"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3, err_msg=nm
+        )
+
+
+def _rel_l2(a, b, floor=1e-4):
+    """‖a−b‖ / max(‖b‖, floor). The floor keeps analytically-zero tensors
+    (e.g. conv-bias grads, which BatchNorm's mean-subtraction cancels
+    exactly — measured ‖grad‖ ~1e-8 vs ~0.5 for kernels) from turning
+    numerical noise into O(1) 'relative' error."""
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), floor))
+
+
+def _tree_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return float(np.sqrt(sum(float(np.vdot(np.asarray(l, np.float64),
+                                           np.asarray(l, np.float64)))
+                             for l in leaves)))
+
+
+def test_fused_double_conv_block_gradients_tight():
+    """Single DoubleConv: fused vs xla grads must agree tightly — this is
+    the bug-catcher; the whole-UNet test below tolerates composition noise."""
+    from im2im_uq_tpu.models.unet import DoubleConv
+
+    x = jnp.asarray(np.random.RandomState(9).randn(2, 16, 16, 128), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(10).randn(2, 16, 16, 64), jnp.float32)
+
+    grads, stats = {}, {}
+    for backend in ("xla", "pallas_fused"):
+        m = DoubleConv(64, conv_backend=backend)
+        vs = m.init(jax.random.key(0), x, train=False)
+
+        def loss(params):
+            out, upd = m.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean((out - y) ** 2), upd["batch_stats"]
+
+        (_, bs), g = jax.value_and_grad(loss, has_aux=True)(vs["params"])
+        grads[backend], stats[backend] = g, bs
+
+    gx = dict(jax.tree_util.tree_flatten_with_path(grads["xla"])[0])
+    gf = dict(jax.tree_util.tree_flatten_with_path(grads["pallas_fused"])[0])
+    assert gx.keys() == gf.keys()
+    floor = 0.01 * _tree_norm(grads["xla"])  # analytically-zero-tensor guard
+    for path in gx:
+        assert _rel_l2(gf[path], gx[path], floor) < 2e-4, (
+            jax.tree_util.keystr(path), _rel_l2(gf[path], gx[path], floor)
+        )
+    sx = dict(jax.tree_util.tree_flatten_with_path(stats["xla"])[0])
+    sf = dict(jax.tree_util.tree_flatten_with_path(stats["pallas_fused"])[0])
+    for path in sx:
+        assert _rel_l2(sf[path], sx[path]) < 1e-5, jax.tree_util.keystr(path)
+
+
+def test_fused_backend_matches_xla_backend():
+    """Whole-UNet: conv_backend='pallas_fused' tracks 'xla' in forward,
+    gradients, and BatchNorm running-stat updates."""
+    from im2im_uq_tpu.models.unet import UNet
+
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 16, 16, 1), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(8).randn(2, 16, 16, 32), jnp.float32)
+
+    outs, grads, stats = {}, {}, {}
+    for backend in ("xla", "pallas_fused"):
+        m = UNet(n_channels_out=1, conv_backend=backend)
+        vs = m.init(jax.random.key(0), x, train=False)
+        outs[backend] = m.apply(vs, x, train=False)
+
+        def loss(params):
+            out, upd = m.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean((out - y) ** 2), upd["batch_stats"]
+
+        (l, bs), g = jax.value_and_grad(loss, has_aux=True)(vs["params"])
+        grads[backend], stats[backend] = g, bs
+
+    assert _rel_l2(outs["pallas_fused"], outs["xla"]) < 1e-4
+    # per-tensor relative-L2: elementwise tolerances misfire on deep-
+    # composition grads (tiny entries see reassociation noise amplified
+    # through 20+ layers and the BN rsqrt); the block-level test above
+    # pins tight correctness
+    flat_x = dict(jax.tree_util.tree_flatten_with_path(grads["xla"])[0])
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(grads["pallas_fused"])[0])
+    assert flat_x.keys() == flat_f.keys(), "param trees must match across backends"
+    # 2e-2: ReLU-mask flips on near-zero pre-activations (f32 noise decides
+    # u>0 differently between backends) inject O(local-grad) differences
+    # that accumulate to ~0.5-1% through 20+ layers; measured, not a bug —
+    # the single-block test above agrees at 1e-6
+    floor = 0.01 * _tree_norm(grads["xla"])
+    for path in flat_x:
+        assert _rel_l2(flat_f[path], flat_x[path], floor) < 2e-2, (
+            jax.tree_util.keystr(path), _rel_l2(flat_f[path], flat_x[path], floor)
+        )
+    sx = dict(jax.tree_util.tree_flatten_with_path(stats["xla"])[0])
+    sf = dict(jax.tree_util.tree_flatten_with_path(stats["pallas_fused"])[0])
+    assert sx.keys() == sf.keys(), "batch_stats trees must match across backends"
+    for path in sx:
+        assert _rel_l2(sf[path], sx[path]) < 1e-3, jax.tree_util.keystr(path)
 
 
 def test_unet_backend_train_step_equivalence():

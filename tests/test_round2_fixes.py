@@ -89,6 +89,46 @@ def test_torch_import_restores_sys_path(tmp_path):
     assert fake_ref not in sys.path
 
 
+def test_precompile_calibration_matches_lazy_compile():
+    """VERDICT weak #6: the calibration program can be compiled ahead of
+    calibrate_model (overlapped with training); results are unchanged."""
+    from im2im_uq_tpu.calibration.rcps import calibrate_model, precompile_calibration
+
+    state, config = _tiny_state()
+    config = dict(
+        config,
+        alpha=0.2,
+        delta=0.2,
+        num_lambdas=10,
+        minimum_lambda=0.0,
+        maximum_lambda=6.0,
+        rcps_loss="fraction_missed",
+        batch_size=4,
+    )
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return (
+                r.randn(16, 16, 1).astype(np.float32),
+                r.randn(16, 16, 1).astype(np.float32),
+            )
+
+    ds = _DS()
+    t = precompile_calibration(state, config, ds[0], batch_size=4)
+    assert t is not None
+    t.join(timeout=300)
+    assert not t.is_alive()
+    st, table = calibrate_model(state, ds, config, batch_size=4)
+    assert table.shape == (8, 10)
+    assert st.lhat is not None
+    # blocking form is also fine (used by bench warmup)
+    assert precompile_calibration(state, config, ds[0], batch_size=4, block=True) is None
+
+
 class _SpawnableDS:
     """Module-level so the spawn-based worker pool can pickle it."""
 
