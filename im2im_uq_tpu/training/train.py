@@ -110,8 +110,17 @@ def make_train_step(
             opt_state=new_opt,
             step=state.step + 1,
         )
+        if watch:
+            # gradient observability (counterpart of wandb.watch, reference
+            # train.py:126): global + per-top-level-module L2 grad norms,
+            # computed in-program (a handful of replicated scalars)
+            norms = {"grad_norm/global": optax.global_norm(grads)}
+            for key, sub in grads.items():
+                norms[f"grad_norm/{key}"] = optax.global_norm(sub)
+            return new_state, loss, norms
         return new_state, loss
 
+    watch = bool(hyper.get("watch_gradients"))
     if mesh is None:
         return jax.jit(train_step, donate_argnums=0)
     repl = mesh_lib.replicated(mesh)
@@ -119,7 +128,7 @@ def make_train_step(
     return jax.jit(
         train_step,
         in_shardings=(repl, shard, shard, shard),
-        out_shardings=(repl, repl),
+        out_shardings=(repl, repl, repl) if watch else (repl, repl),
         donate_argnums=0,
     )
 
@@ -389,8 +398,12 @@ def _run_epochs(
             steps_in_epoch = int(resume_progress.get("steps", 0))
         resume_data_state = resume_progress = None
         losses = []
+        grad_norms = None
         for x, y, mask in batches:
-            state, loss = train_step(state, x, y, mask)
+            out = train_step(state, x, y, mask)
+            state, loss = out[0], out[1]
+            if len(out) == 3:
+                grad_norms = out[2]  # last step's norms logged per epoch
             losses.append(loss)  # device scalar; fetched at epoch end
             num_examples += int(mask.sum())
             global_step += 1
@@ -434,6 +447,11 @@ def _run_epochs(
         logger.log(
             {"epoch": epoch, "iter": global_step, "train_loss": epoch_loss / max(num_examples, 1)}
         )
+        if grad_norms is not None:
+            logger.log(
+                {"epoch": epoch, "iter": global_step,
+                 **{k: float(v) for k, v in grad_norms.items()}}
+            )
 
         current = uq_state.replace(
             variables={"params": state.params, "batch_stats": state.batch_stats},

