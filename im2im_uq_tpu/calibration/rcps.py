@@ -220,16 +220,23 @@ def precompile_calibration(
         batch_size or config.get("batch_size", 64), mesh
     )
     step = _make_table_step(uq_state, lambdas - dlambda, mesh, method)
-    var_sds = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), uq_state.variables
-    )
     x, y = example
-    x_sds = jax.ShapeDtypeStruct((bs, *np.shape(x)), np.asarray(x).dtype)
-    y_sds = jax.ShapeDtypeStruct((bs, *np.shape(y)), np.asarray(y).dtype)
+    x0 = np.zeros((bs, *np.shape(x)), np.asarray(x).dtype)
+    y0 = np.zeros((bs, *np.shape(y)), np.asarray(y).dtype)
+    # private copy: the caller's variables may alias a train state whose
+    # buffers get DONATED by the first train step while this thread runs
+    variables = jax.tree.map(
+        lambda a: jnp.array(a, copy=True), uq_state.variables
+    )
 
     def work():
+        # execute (not just AOT-lower) one dummy batch: only a real call
+        # populates the jit executable cache, so the later calibrate_model
+        # pays nothing — lower().compile() alone would leave it re-loading
+        # the program from the persistent cache (measured ~12 s at FastMRI
+        # scale)
         try:
-            step.lower(var_sds, x_sds, y_sds).compile()
+            jax.block_until_ready(step(variables, x0, y0))
         except Exception as e:  # best-effort: calibration still compiles lazily
             print(f"calibration precompile skipped: {e}")
 

@@ -7,6 +7,13 @@ v5e runs at only ~104–179 GB/s effective HBM bandwidth at these shapes
 double-buffered Pallas kernel here beats it at every aligned UNet level
 (160²×128: 2.05 vs 2.34 ms; 80²×256 par; 40²×512 −6%).
 
+IN-CONTEXT CAVEAT (measured, STATUS.md round 2): inside the full UNet
+program XLA fuses the surrounding elementwise work into fewer passes than
+a pallas_call boundary allows, and end-to-end the XLA backend still wins
+(eval fwd 62.6 ms xla vs 67.2 pallas vs 96.9 pallas_fused at bf16 batch
+32 320²) — so ``conv_backend: auto`` resolves to xla and these kernels
+are opt-in, shape-gated infrastructure.
+
 Kernel design (per benchmarks/bench_pallas_conv.py, promoted to production):
   - NHWC, stride 1, same-padding; input pre-padded by 1 row/col of zeros.
   - Grid (batch, row-tiles). Each cell DMAs a (tile_h+2, Wp, C) slab of
@@ -22,12 +29,13 @@ handled by zero-padding channels to 128 (2× input traffic but still ~2×
 faster than XLA's conv at those shapes); everything else falls back to
 ``lax.conv_general_dilated``.
 
-Differentiation: ``conv3x3`` carries a custom VJP.
-  - dx is itself a 3×3 same-padding conv of the cotangent with the
-    spatially-flipped, transposed kernel — it reuses THIS kernel.
-  - dw is the standard wgrad-as-conv contraction over (B, H, W), left to
-    XLA (a single large matmul-like conv, MXU-bound, which XLA handles
-    well).
+Differentiation: ``conv3x3`` carries a custom VJP with BOTH gradients on
+XLA-native-shaped convs — dx as a conv of the cotangent with the
+spatially-flipped transposed kernel, dw as the wgrad contraction via
+dimension-number relabeling. Measured (benchmarks/bench_conv_levels.py):
+routing dgrad through the Pallas kernel is ~1.5 ms/conv SLOWER than XLA's
+native backward (the jnp.pad copy dominates), so the backward never uses
+Pallas.
 """
 
 from __future__ import annotations
@@ -464,8 +472,8 @@ def conv3x3(x, kernel, bias, interpret=False):
     """3×3 same-padding NHWC conv + bias; Pallas when eligible, XLA else.
 
     Drop-in compute for flax ``nn.Conv(features, (3,3), padding=1)`` with
-    a custom VJP: dgrad reuses the Pallas kernel (a 3×3 conv with the
-    flipped/transposed weights), wgrad is XLA's standard contraction.
+    a custom VJP; both backward convs stay on XLA (measured faster than
+    routing them through the Pallas kernel — see module docstring).
     """
     return _conv3x3_fwd_impl(x, kernel, bias, interpret)
 
