@@ -157,7 +157,26 @@ def resize_bilinear_align_corners(
     return x
 
 
-def upsample2x_align_corners(x: jax.Array) -> jax.Array:
-    """2x spatial upsample (NHWC) with align_corners=True bilinear weights."""
+def upsample2x_align_corners(x: jax.Array, backend: str = "auto") -> jax.Array:
+    """2x spatial upsample (NHWC) with align_corners=True bilinear weights.
+
+    ``backend``: 'auto' uses the fused Pallas kernel (ops/pallas_resize.py)
+    on a single real TPU chip when the shape is eligible — it replaces the
+    stack/reshape interleave's multiple passes + layout copies with one
+    read + one write — and this XLA formulation otherwise; 'xla'/'pallas'
+    force a path ('pallas' runs interpreted off-TPU). Forward agreement
+    between backends: f32 machine precision for fp32, bf16 resolution for
+    bf16, where the kernel accumulates its W pass in f32 and is the more
+    accurate side (pinned by tests/test_pallas_resize.py).
+    Multi-device meshes stay on XLA: a pallas_call has no GSPMD
+    partitioning rule, so the SPMD partitioner cannot shard it.
+    """
     _, h, w, _ = x.shape
+    if backend in ("auto", "pallas"):
+        from im2im_uq_tpu.ops import pallas_resize as _pr
+
+        if _pr.pallas_upsample_eligible(x.shape, x.dtype) and (
+            backend == "pallas" or (_pr._on_tpu() and jax.device_count() == 1)
+        ):
+            return _pr.upsample2x_pallas(x)
     return resize_bilinear_align_corners(x, (2 * h, 2 * w))

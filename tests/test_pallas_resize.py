@@ -1,0 +1,121 @@
+"""Parity tests for the fused Pallas 2x align-corners upsample.
+
+ops/pallas_resize.py replaces the decoder's stack/reshape interleave
+(ops/resize.upsample2x_align_corners; reference counterpart
+torch.nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True),
+reference core/models/trunks/unet_parts.py:53) with one fused kernel.
+
+Contract pinned here (interpret mode — runs on the CPU mesh):
+  - forward matches the XLA formulation to f32 machine precision for
+    fp32 inputs and to bf16 resolution for bf16 (the kernel's W axis is
+    an f32-accumulating MXU matmul — the more accurate side; the XLA
+    path rounds every intermediate lerp to bf16).
+  - backward (custom VJP) matches jax.vjp of the XLA path to fp32
+    accuracy (the kernel accumulates in f32, better than the bf16 chain).
+  - eligibility gate refuses shapes the kernel cannot tile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from im2im_uq_tpu.ops import pallas_resize as pr
+from im2im_uq_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    upsample2x_align_corners,
+)
+
+pytestmark = pytest.mark.smoke
+
+# every decoder upsample shape of the flagship 320^2 UNet (batch shrunk),
+# plus odd-tile and rectangular cases
+SHAPES = [
+    ((2, 20, 24, 512), jnp.bfloat16),  # up1 geometry (w padded to %8)
+    ((2, 40, 40, 256), jnp.bfloat16),  # up2
+    ((1, 80, 80, 128), jnp.float32),   # up3
+    ((1, 160, 160, 64), jnp.bfloat16), # up4
+    ((2, 80, 40, 64), jnp.float32),    # rectangular, lane-pad path (C=64→128)
+    ((3, 10, 16, 64), jnp.float32),    # th=5 tile path
+]
+
+
+def _xla_up(x):
+    _, h, w, _ = x.shape
+    return resize_bilinear_align_corners(x, (2 * h, 2 * w))
+
+
+@pytest.mark.parametrize("shape,dtype", SHAPES)
+def test_forward_parity_vs_xla(shape, dtype):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape), dtype)
+    assert pr.pallas_upsample_eligible(x.shape, x.dtype)
+    y_p = np.asarray(pr.upsample2x_pallas(x, True), np.float32)
+    y_x = np.asarray(jax.jit(_xla_up)(x), np.float32)
+    rel = np.linalg.norm(y_p - y_x) / (np.linalg.norm(y_x) + 1e-12)
+    # fp32: ~5e-8 measured; bf16: ~3.6e-3 measured (bf16 resolution)
+    tol = 1e-6 if dtype == jnp.float32 else 1e-2
+    assert rel < tol, rel
+
+
+@pytest.mark.parametrize("shape,dtype", SHAPES)
+def test_backward_matches_xla_vjp(shape, dtype):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(shape), dtype)
+    g = jnp.asarray(rng.standard_normal((shape[0], 2 * shape[1], 2 * shape[2], shape[3])), dtype)
+    _, vjp_x = jax.vjp(_xla_up, x)
+    _, vjp_p = jax.vjp(lambda a: pr.upsample2x_pallas(a, True), x)
+    (dx_x,) = vjp_x(g)
+    (dx_p,) = vjp_p(g)
+    dx_x = np.asarray(dx_x, np.float32)
+    dx_p = np.asarray(dx_p, np.float32)
+    rel = np.linalg.norm(dx_x - dx_p) / (np.linalg.norm(dx_x) + 1e-12)
+    # f32 taps: near machine eps; bf16: kernel accumulates in f32 while the
+    # XLA chain rounds each add to bf16 — bounded by bf16 resolution
+    tol = 1e-6 if dtype == jnp.float32 else 1e-2
+    assert rel < tol, rel
+
+
+def test_eligibility_gate():
+    ok = pr.pallas_upsample_eligible
+    assert ok((2, 40, 40, 64), jnp.bfloat16)
+    assert not ok((2, 40, 40, 64), jnp.float16)   # unsupported dtype
+    assert not ok((2, 40, 41, 64), jnp.float32)   # W % 8 != 0
+    assert not ok((2, 40, 40, 16), jnp.float32)   # C too small
+    assert not ok((2, 40, 40, 32), jnp.float32)   # lane-pad factor 4 > 2
+    assert ok((2, 160, 160, 64), jnp.bfloat16)    # lane-pad path (pad to 128)
+    assert not ok((2, 7, 40, 64), jnp.float32)    # no row tile divides H
+    assert not ok((40, 40, 64), jnp.float32)      # not 4-D
+
+
+def test_dispatcher_falls_back_to_xla_off_tpu():
+    # on CPU (this suite) 'auto' must route to the XLA path; 'pallas'
+    # forces the kernel in interpret mode — both agree with the jitted
+    # XLA formulation
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 20, 24, 64)), jnp.bfloat16)
+    y_auto = np.asarray(upsample2x_align_corners(x), np.float32)
+    y_forced = np.asarray(upsample2x_align_corners(x, backend="pallas"), np.float32)
+    y_x = np.asarray(jax.jit(_xla_up)(x), np.float32)
+    # auto on CPU = the XLA path, bit-for-bit
+    np.testing.assert_array_equal(y_auto, np.asarray(_xla_up(x), np.float32))
+    rel = np.linalg.norm(y_forced - y_x) / (np.linalg.norm(y_x) + 1e-12)
+    assert rel < 1e-2, rel
+
+
+def test_grad_through_dispatcher():
+    # the custom VJP must compose with jax.grad through the public entry
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 10, 16, 32)), jnp.float32)
+
+    def loss_pallas(a):
+        return jnp.sum(pr.upsample2x_pallas(a, True) ** 2)
+
+    def loss_xla(a):
+        return jnp.sum(_xla_up(a) ** 2)
+
+    gp = np.asarray(jax.grad(loss_pallas)(x))
+    gx = np.asarray(jax.grad(loss_xla)(x))
+    np.testing.assert_allclose(gp, gx, rtol=1e-5, atol=1e-5)
