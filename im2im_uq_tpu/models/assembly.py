@@ -34,7 +34,14 @@ class UQModel(nn.Module):
     head: nn.Module
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return self.head(self.trunk(x, train=train))
+        # lane-packed trunks (UNet.lane_pack, ops/lane_pack.py) emit packed
+        # (B/2, H, W, 2C) features; the head runs its conv block-diagonal
+        # and unpacks its own (tiny-C) output, so callers see normal shapes
+        packed = bool(getattr(self.trunk, "packs", lambda _x: False)(x))
+        feats = self.trunk(x, train=train)
+        if packed:
+            return self.head(feats, packed=True)
+        return self.head(feats)
 
 
 @functools.lru_cache(maxsize=32)
@@ -151,6 +158,28 @@ def resolve_conv_backend(params: dict) -> str:
     return backend
 
 
+def resolve_lane_pack(params: dict) -> bool:
+    """``lane_pack`` ∈ {auto, True, False} → concrete flag.
+
+    'auto' (default) enables batch-to-lane packing of the UNet's level-0
+    region on a single real TPU device — measured 160 → ~125 ms bf16
+    train step (benchmarks/bench_batch_pack.py; the C=64 region stops
+    paying the 128-lane tax). Off elsewhere: on CPU it is pure overhead,
+    and under a multi-device mesh the pack reshape would reshard the
+    batch axis. Forcing ``true`` works on any backend (pure XLA ops).
+    """
+    v = params.get("lane_pack", "auto")
+    if v == "auto":
+        try:
+            return jax.device_count() == 1 and jax.default_backend() in (
+                "tpu",
+                "axon",
+            )
+        except Exception:
+            return False
+    return bool(v)
+
+
 def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     """Trunk factory for the router's model dispatch (reference router.py:80-84)."""
     dtype = resolve_dtype(params, dtype)
@@ -158,7 +187,7 @@ def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     name = params.get("model", "UNet")
     if name == "UNet":
         return UNet(n_channels_out=1, dtype=dtype, remat=bool(params.get("remat", False)),
-                    conv_backend=cb)
+                    conv_backend=cb, lane_pack=resolve_lane_pack(params))
     if name == "WNet":
         return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb)
     if name == "ResNet18":

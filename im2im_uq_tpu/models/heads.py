@@ -39,16 +39,28 @@ __all__ = [
 ]
 
 
-def _fused_conv3x3(x: jax.Array, params: list, dtype: Any) -> jax.Array:
+def _fused_conv3x3(
+    x: jax.Array, params: list, dtype: Any, packed: bool = False
+) -> jax.Array:
     """One conv3x3 evaluating several same-input convs at once.
 
     The K sibling head convs all read the same (B, H, W, 32) trunk feature
     map — HBM-bound passes. Concatenating their (tiny) kernels/biases on the
     output-channel axis computes identical per-channel dot products in ONE
     pass over ``x``, cutting the head's feature-map traffic K×.
+
+    ``packed``: ``x`` is lane-packed (B/2, H, W, 2·Cin) trunk features
+    (ops/lane_pack.py); the fused conv runs with a block-diagonal kernel
+    and the OUTPUT is unpacked here — it has only K·n_channels_out
+    channels, so this is the one cheap place to leave the packed world.
     """
     kernel = jnp.concatenate([k for k, _ in params], axis=-1)
     bias = jnp.concatenate([b for _, b in params], axis=-1)
+    if packed:
+        from im2im_uq_tpu.ops.lane_pack import blockdiag2, tile2, unpack2
+
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+        return unpack2(conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias))
     x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
     return conv3x3_apply(x, kernel) + bias
 
@@ -64,12 +76,12 @@ class QuantileHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        cin, c = x.shape[-1], self.n_channels_out
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        cin, c = x.shape[-1] // (2 if packed else 1), self.n_channels_out
         params = [
             _Conv3x3Params(cin, c, name=n)() for n in ("lower", "prediction", "upper")
         ]
-        y = _fused_conv3x3(x, params, self.dtype)
+        y = _fused_conv3x3(x, params, self.dtype, packed)
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, 3, c).transpose(0, 3, 1, 2, 4)
         return y.astype(jnp.float32)
@@ -82,10 +94,10 @@ class GaussianHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        cin, c = x.shape[-1], self.n_channels_out
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        cin, c = x.shape[-1] // (2 if packed else 1), self.n_channels_out
         params = [_Conv3x3Params(cin, c, name=n)() for n in ("mean", "variance")]
-        y = _fused_conv3x3(x, params, self.dtype)
+        y = _fused_conv3x3(x, params, self.dtype, packed)
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, 2, c).transpose(0, 3, 1, 2, 4)
         y = jnp.stack([y[:, 0], nn.relu(y[:, 1])], axis=1)
@@ -99,13 +111,13 @@ class ResidualMagnitudeHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        cin, c = x.shape[-1], self.n_channels_out
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        cin, c = x.shape[-1] // (2 if packed else 1), self.n_channels_out
         params = [
             _Conv3x3Params(cin, c, name=n)()
             for n in ("prediction", "residual_magnitude")
         ]
-        y = _fused_conv3x3(x, params, self.dtype)
+        y = _fused_conv3x3(x, params, self.dtype, packed)
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, 2, c).transpose(0, 3, 1, 2, 4)
         y = jnp.stack([y[:, 0], jnp.abs(y[:, 1])], axis=1)
@@ -124,13 +136,13 @@ class SoftmaxHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        cin, s = x.shape[-1], self.num_softmax
+    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
+        cin, s = x.shape[-1] // (2 if packed else 1), self.num_softmax
         params = [
             _Conv3x3Params(cin, s, name=f"out{c}")()
             for c in range(self.n_channels_out)
         ]
-        y = _fused_conv3x3(x, params, self.dtype)  # (B, H, W, C*S)
+        y = _fused_conv3x3(x, params, self.dtype, packed)  # (B, H, W, C*S)
         b, h, w, _ = y.shape
         # channel-major concat → (B, H, W, C, S) → (B, S, H, W, C)
         logits = y.reshape(b, h, w, self.n_channels_out, s).transpose(0, 4, 1, 2, 3)

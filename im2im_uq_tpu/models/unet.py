@@ -157,6 +157,24 @@ def conv1x1(features: int, in_features: int, dtype: Any = None, name: str | None
     )
 
 
+class Conv1x1Params(nn.Module):
+    """Declares a conv1x1's (kernel, bias) without running the conv.
+
+    Same scope path, param names, shapes, and inits as the ``conv1x1``
+    nn.Conv it stands in for (see Conv3x3Params). Used by the lane-packed
+    out-conv, where the conv runs manually with a block-diagonal kernel.
+    """
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_kernel_init, (1, 1, self.cin, self.cout))
+        bias = self.param("bias", _TorchBiasInit(self.cin), (self.cout,))
+        return kernel, bias
+
+
 class Conv3x3Params(nn.Module):
     """Declares a conv3x3's (kernel, bias) without running the conv.
 
@@ -260,6 +278,64 @@ class FusedBN(nn.Module):
         return s, bias_p - mean * s
 
 
+class PackedBN(nn.Module):
+    """TorchBatchNorm semantics on a lane-packed (B/2, H, W, 2C) tensor.
+
+    Parameter/variable names, shapes, dtypes, and the running-stat update
+    (torch unbiased running_var, biased normalization — see
+    TorchBatchNorm) are identical to TorchBatchNorm at the LOGICAL C, so
+    checkpoints are interchangeable with the unpacked path. Batch moments
+    are reduced per packed channel then averaged across the two image
+    halves — exactly the global per-logical-channel statistics, since the
+    halves have equal counts. The normalize applies the folded
+    (mul, add) = (γ·rsqrt(σ²+ε), β − μ·mul) pair tiled ×2 on lanes, in
+    the compute dtype (one fused multiply-add per element).
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from im2im_uq_tpu.ops.lane_pack import tile2
+
+        c = x.shape[-1] // 2
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,)
+        )
+        if train:
+            xf = x.astype(jnp.float32)
+            m2 = jnp.mean(xf, axis=(0, 1, 2))
+            q2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+            mean = 0.5 * (m2[:c] + m2[c:])
+            var = 0.5 * (q2[:c] + q2[c:]) - mean * mean  # use_fast_variance form
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2] * 2
+                bessel = n / (n - 1) if n > 1 else 1.0
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1 - self.momentum) * jax.lax.stop_gradient(mean)
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * jax.lax.stop_gradient(var) * bessel
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        mul, add = tile2(mul), tile2(add)
+        x, mul, add = nn.dtypes.promote_dtype(x, mul, add, dtype=self.dtype)
+        return x * mul + add
+
+
 class DoubleConv(nn.Module):
     """(conv3x3 → BN → ReLU) × 2 (reference unet_parts.py:8-25).
 
@@ -279,10 +355,15 @@ class DoubleConv(nn.Module):
     # "xla" | "pallas" (plain kernel swap) | "pallas_fused" (BN+ReLU folded
     # into the conv kernels' prologue/epilogue — see ops/pallas_conv.py)
     conv_backend: str = "xla"
+    # lane-packed input (B/2, H, W, 2C): block-diagonal XLA convs +
+    # PackedBN; takes precedence over conv_backend (see ops/lane_pack.py)
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jax.Array:
         mid = self.mid_features if self.mid_features is not None else self.features
+        if self.packed:
+            return self._packed(x, mid, train)
         if self.conv_backend == "pallas_fused":
             return self._fused(x, mid, train)
         use_pallas = self.conv_backend == "pallas"
@@ -343,6 +424,44 @@ class DoubleConv(nn.Module):
         else:
             x = conv3x3(self.features, x.shape[-1], dtype=self.dtype, name="conv1")(x)
         return nn.relu(bn(1, x))
+
+    def _packed(self, x, mid: int, train: bool) -> jax.Array:
+        """Lane-packed DoubleConv: identical math per image half, full MXU
+        tiles and lanes at logical C=64 (ops/lane_pack.py). Param tree is
+        bit-identical to the unpacked path (Conv3x3Params + PackedBN name
+        and shape contracts at logical C)."""
+        from im2im_uq_tpu.ops.lane_pack import blockdiag2, tile2
+
+        if isinstance(x, (tuple, list)):
+            # virtual concat of two PACKED maps: the split kernels get
+            # block-diagonalized independently — no interleaved concat
+            # tensor is ever materialized
+            a, b = x
+            ca = a.shape[-1] // 2
+            kernel, bias = Conv3x3Params(ca + b.shape[-1] // 2, mid, name="conv0")()
+            a, b, kernel, bias = nn.dtypes.promote_dtype(
+                a, b, kernel, bias, dtype=self.dtype
+            )
+            x = (
+                conv3x3_apply(a, blockdiag2(kernel[:, :, :ca]))
+                + conv3x3_apply(b, blockdiag2(kernel[:, :, ca:]))
+                + tile2(bias)
+            )
+        else:
+            kernel, bias = Conv3x3Params(x.shape[-1] // 2, mid, name="conv0")()
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype
+            )
+            x = conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias)
+        x = nn.relu(
+            PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn0")(x, train)
+        )
+        kernel, bias = Conv3x3Params(mid, self.features, name="conv1")()
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        x = conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias)
+        return nn.relu(
+            PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x, train)
+        )
 
     def _fused(self, x, mid: int, train: bool) -> jax.Array:
         """Fused-kernel DoubleConv: the two BN+ReLU stages never touch HBM
@@ -417,10 +536,17 @@ class Down(nn.Module):
     features: int
     dtype: Any = None
     conv_backend: str = "xla"
+    # input arrives lane-packed: pool it packed (halves the pool's HBM
+    # traffic at full res), then unpack at the 4×-smaller pooled size
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.packed_input:
+            from im2im_uq_tpu.ops.lane_pack import unpack2
+
+            x = unpack2(x)
         return DoubleConv(
             self.features, dtype=self.dtype, conv_backend=self.conv_backend,
             name="conv",
@@ -434,12 +560,22 @@ class Up(nn.Module):
     bilinear: bool = True
     dtype: Any = None
     conv_backend: str = "xla"
+    # lane-packed decoder level: x1 (decoder stream) is packed here at the
+    # LOW resolution (cheap relayout), x2 (skip) must already arrive
+    # packed; upsample/pad/DoubleConv all run packed. bilinear only.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
+        if self.packed:
+            assert self.bilinear, "lane packing supports the bilinear path only"
+            from im2im_uq_tpu.ops.lane_pack import pack2
+
+            x1 = pack2(x1)
         if self.bilinear:
+            pf = 2 if self.packed else 1
             x1 = upsample2x_align_corners(x1)
-            mid = x1.shape[-1] // 2 + x2.shape[-1] // 2
+            mid = x1.shape[-1] // pf // 2 + x2.shape[-1] // pf // 2
         else:
             half = x1.shape[-1] // 2
             x1 = nn.ConvTranspose(
@@ -464,7 +600,7 @@ class Up(nn.Module):
         # conv-over-concat without materializing the concatenated tensor
         return DoubleConv(
             self.features, mid_features=mid, dtype=self.dtype,
-            conv_backend=self.conv_backend, name="conv",
+            conv_backend=self.conv_backend, packed=self.packed, name="conv",
         )((x2, x1), train)
 
 
@@ -507,6 +643,15 @@ class UNet(nn.Module):
     n_channels_middle: int = 32
     remat: bool = False  # rematerialize each block's activations in backward
     conv_backend: str = "xla"  # "pallas" = ops/pallas_conv.py 3x3 kernels
+    # lane-pack the level-0 (C=64, full-res) region: batch pairs ride the
+    # lane dim through inc → down1's pool → up4 → out → (packed) trunk
+    # output. Requires an even batch (odd batches silently fall back) and
+    # the bilinear decoder. See ops/lane_pack.py for the measurements.
+    lane_pack: bool = False
+
+    def packs(self, x: jax.Array) -> bool:
+        """Whether this call runs lane-packed (even batch, bilinear)."""
+        return self.lane_pack and self.bilinear and x.shape[0] % 2 == 0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -523,8 +668,13 @@ class UNet(nn.Module):
         else:
             DC, Dn, UpB = DoubleConv, Down, Up
         cb = self.conv_backend
-        x1 = DC(64, dtype=self.dtype, conv_backend=cb, name="inc")(x, train)
-        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, name="down1")(x1, train)
+        packed = self.packs(x)
+        if packed:
+            from im2im_uq_tpu.ops.lane_pack import blockdiag2, pack2, tile2
+
+            x = pack2(x)
+        x1 = DC(64, dtype=self.dtype, conv_backend=cb, packed=packed, name="inc")(x, train)
+        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, packed_input=packed, name="down1")(x1, train)
         x3 = Dn(256, dtype=self.dtype, conv_backend=cb, name="down2")(x2, train)
         x4 = Dn(512, dtype=self.dtype, conv_backend=cb, name="down3")(x3, train)
         x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, name="down4")(x4, train)
@@ -532,8 +682,26 @@ class UNet(nn.Module):
         x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up1")(x5, x4, train)
         x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up2")(x, x3, train)
         x = UpB(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up3")(x, x2, train)
-        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up4")(x, x1, train)
-        x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
+        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, packed=packed, name="up4")(x, x1, train)
+        if packed:
+            # out-conv on the packed features; the trunk output STAYS
+            # packed — the uncertainty heads consume it packed and unpack
+            # only their (tiny-C) outputs (models/heads.py)
+            kernel, bias = Conv1x1Params(
+                x.shape[-1] // 2, self.n_channels_middle, name="out"
+            )()
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype
+            )
+            x = (
+                jax.lax.conv_general_dilated(
+                    x, blockdiag2(kernel), (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + tile2(bias)
+            )
+        else:
+            x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
         return x.astype(jnp.float32)
 
 
