@@ -33,9 +33,13 @@ Differentiation: ``conv3x3`` carries a custom VJP with BOTH gradients on
 XLA-native-shaped convs — dx as a conv of the cotangent with the
 spatially-flipped transposed kernel, dw as the wgrad contraction via
 dimension-number relabeling. Measured (benchmarks/bench_conv_levels.py):
-routing dgrad through the Pallas kernel is ~1.5 ms/conv SLOWER than XLA's
-native backward (the jnp.pad copy dominates), so the backward never uses
-Pallas.
+routing PLAIN dgrad through the forward Pallas kernel is ~1.5 ms/conv
+SLOWER than XLA's native backward (the jnp.pad copy dominates), so
+``conv3x3``'s backward stays on XLA. The FUSED op ``conv3x3_bn_act`` is
+different: its backward carries fused BN/ReLU edges and per-channel
+reductions that XLA runs as separate full-res passes, so when shapes are
+eligible it routes through the dedicated wgrad/dgrad kernels in
+ops/pallas_conv_bwd.py (see _fused_bwd_pallas).
 """
 
 from __future__ import annotations
@@ -371,6 +375,11 @@ def _fused_bwd(prologue, stats, interpret, res, cts):
         ).astype(gy.dtype)
     else:
         g_tot = gy
+    pallas_bwd = _fused_bwd_pallas(
+        x, kernel, scale, shift, g_tot, prologue, interpret
+    )
+    if pallas_bwd is not None:
+        return pallas_bwd
     # dgrad through the conv — XLA: its native dgrad beats the Pallas
     # kernel at UNet shapes (bench_conv_levels.py; the pad copy dominates)
     wt = jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
@@ -404,6 +413,54 @@ def _fused_bwd(prologue, stats, interpret, res, cts):
     ).transpose(1, 2, 0, 3).astype(kernel.dtype)
     db = jnp.sum(g_tot.astype(jnp.float32), axis=(0, 1, 2)).astype(kernel.dtype)
     return dx, dw, db, dscale, dshift
+
+
+def _fused_bwd_pallas(x, kernel, scale, shift, g_tot, prologue, interpret):
+    """Pallas backward for conv3x3_bn_act (ops/pallas_conv_bwd.py), or None.
+
+    Absorbs the XLA composition's separate full-resolution passes — the
+    BN+ReLU activation recompute feeding wgrad, its pad copy, the
+    ReLU-mask × BN-scale product after dgrad, and the dscale/dshift
+    reductions — into the two conv passes. The spatial/channel pad of ``x``
+    below is expression-identical to the forward's, so inside one jitted
+    train step XLA CSEs it away; the only new materialization is the padded
+    cotangent, shared by both kernels.
+    """
+    from im2im_uq_tpu.ops import pallas_conv_bwd as pcb
+
+    if not _fused_eligible(x, kernel):
+        return None
+    bsz, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    pad_cin = -(-cin // LANE) * LANE
+    if not pcb.bwd_eligible(h, pad_cin, cout, x.dtype):
+        return None
+    xp, kp = _pad_channels(x, kernel, cin)
+    pad = pad_cin - cin
+    scale_p = jnp.pad(scale.astype(jnp.float32), (0, pad))
+    shift_p = jnp.pad(shift.astype(jnp.float32), (0, pad))
+    wp = -(-(w + 2) // 8) * 8
+    frame = ((0, 0), (1, 1), (1, wp - w - 1), (0, 0))
+    xq = jnp.pad(xp, frame)  # CSEs with the forward's pad
+    gq = jnp.pad(g_tot, frame)
+    dw, db = pcb.wgrad3x3_pallas_raw(
+        xq, gq, scale_p, shift_p, w=w, prologue=prologue,
+        out_dtype=jnp.float32, interpret=interpret or not _on_tpu(),
+    )
+    dx_p, red = pcb.dgrad3x3_pallas_raw(
+        gq, xp, kp, scale_p, shift_p, prologue=prologue,
+        interpret=interpret or not _on_tpu(),
+    )
+    dx = dx_p[..., :cin].astype(x.dtype)
+    dwk = dw[:, :, :cin, :].astype(kernel.dtype)
+    dbk = db.astype(kernel.dtype)
+    if prologue:
+        dscale = red[0, :cin].astype(scale.dtype)
+        dshift = red[1, :cin].astype(shift.dtype)
+    else:
+        dscale = jnp.zeros_like(scale)
+        dshift = jnp.zeros_like(shift)
+    return dx, dwk, dbk, dscale, dshift
 
 
 conv3x3_bn_act.defvjp(_fused_fwd, _fused_bwd)

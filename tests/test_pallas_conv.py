@@ -169,6 +169,39 @@ def test_fused_op_gradients():
         )
 
 
+@pytest.mark.parametrize("cin,prologue", [(128, True), (128, False), (64, True)])
+def test_fused_op_gradients_pallas_bwd(cin, prologue):
+    """VJP of the fused op through the PALLAS backward kernels (cout=128
+    makes ops/pallas_conv_bwd.py eligible; cin=64 exercises the
+    channel-padded slicing of dx/dw/dscale/dshift)."""
+    from im2im_uq_tpu.ops.pallas_conv import conv3x3_bn_act
+
+    x, k, bias = _mk(2, 16, 16, cin, 128, seed=11)
+    rng = np.random.RandomState(12)
+    scale = jnp.asarray(np.abs(rng.randn(cin)) + 0.5, jnp.float32)
+    shift = jnp.asarray(0.3 * rng.randn(cin), jnp.float32)
+    wy = jnp.asarray(rng.randn(2, 16, 16, 128), jnp.float32)
+    ws = jnp.asarray(rng.randn(2, 2, 128), jnp.float32)
+
+    def loss_fused(x, k, b, sc, sh):
+        y, st = conv3x3_bn_act(x, k, b, sc, sh, prologue, True)
+        return jnp.sum(y * wy) + jnp.sum(st * ws)
+
+    def loss_ref(x, k, b, sc, sh):
+        a = jnp.maximum(x * sc + sh, 0.0) if prologue else x
+        y = _xla_conv(a, k, b)
+        yf = y.astype(jnp.float32)
+        st = jnp.stack([yf.sum((1, 2)), (yf * yf).sum((1, 2))], axis=1)
+        return jnp.sum(y * wy) + jnp.sum(st * ws)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, k, bias, scale, shift)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, k, bias, scale, shift)
+    for a, b_, nm in zip(gf, gr, ["dx", "dw", "db", "dscale", "dshift"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3, err_msg=nm
+        )
+
+
 def _rel_l2(a, b, floor=1e-4):
     """‖a−b‖ / max(‖b‖, floor). The floor keeps analytically-zero tensors
     (e.g. conv-bias grads, which BatchNorm's mean-subtraction cancels
