@@ -4,7 +4,7 @@ Traces a few steps of UNet+quantiles training at FastMRI geometry and
 prints the top ops by on-chip busy time (load-independent — see
 utils/profiling.py). Use to decide where the next kernel/fusion work goes.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_step_breakdown.py [fp32|bfloat16] [batch] [xla|pallas|auto]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_step_breakdown.py [fp32|bfloat16] [batch] [xla|pallas|pallas_fused|auto] [lane_pack: auto|0|1]
 """
 
 from __future__ import annotations
@@ -31,10 +31,14 @@ def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     conv_backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    lane_pack = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    if lane_pack in ("0", "1"):
+        lane_pack = bool(int(lane_pack))
     cfg = {
         "model": "UNet", "uncertainty_type": "quantiles",
         "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
         "mse_weight": 1.0, "compute_dtype": dtype, "conv_backend": conv_backend,
+        "lane_pack": lane_pack,
     }
     x0 = jnp.zeros((1, 320, 320, 1), jnp.float32)
     st = add_uncertainty(build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=x0)

@@ -363,6 +363,8 @@ class DoubleConv(nn.Module):
     def __call__(self, x, train: bool = False) -> jax.Array:
         mid = self.mid_features if self.mid_features is not None else self.features
         if self.packed:
+            if self.conv_backend == "pallas_fused":
+                return self._packed_fused(x, mid, train)
             return self._packed(x, mid, train)
         if self.conv_backend == "pallas_fused":
             return self._fused(x, mid, train)
@@ -462,6 +464,75 @@ class DoubleConv(nn.Module):
         return nn.relu(
             PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x, train)
         )
+
+    def _packed_fused(self, x, mid: int, train: bool) -> jax.Array:
+        """Lane-packed DoubleConv through the fused Pallas kernels: the
+        packed (B/2, H, W, 2C) tensor is already 128-lane aligned, so the
+        block-diagonal convs route through conv3x3_bn_act — BN+ReLU ride
+        the conv prologue and the per-packed-channel stats epilogue
+        replaces the full-res reduction (logical-channel sums are the two
+        128-lane halves added, since the halves carry disjoint images).
+        Parameter/batch-stats tree is bit-identical to _packed (Conv3x3-
+        Params at logical C; FusedBN declares TorchBatchNorm's tree), so
+        checkpoints are portable across all backends.
+        """
+        from im2im_uq_tpu.ops.lane_pack import blockdiag2, tile2
+        from im2im_uq_tpu.ops.pallas_conv import conv3x3 as pconv3x3
+        from im2im_uq_tpu.ops.pallas_conv import conv3x3_bn_act
+
+        if isinstance(x, (tuple, list)):
+            # virtual concat of two packed maps: stats of (conv_a + conv_b)
+            # don't decompose per part (Σ(y_a+y_b)² ≠ Σy_a²+Σy_b²), so the
+            # parts use the plain kernel and the stats reduce in XLA
+            a, b = x
+            ca = a.shape[-1] // 2
+            k0, b0 = Conv3x3Params(ca + b.shape[-1] // 2, mid, name="conv0")()
+            a, b, k0, b0 = nn.dtypes.promote_dtype(a, b, k0, b0, dtype=self.dtype)
+            zero = jnp.zeros((2 * mid,), b0.dtype)
+            y0 = pconv3x3(a, blockdiag2(k0[:, :, :ca]), tile2(b0)) + pconv3x3(
+                b, blockdiag2(k0[:, :, ca:]), zero
+            )
+            if train:
+                y0f = y0.astype(jnp.float32)
+                s0p = jnp.sum(y0f, axis=(0, 1, 2))
+                q0p = jnp.sum(y0f * y0f, axis=(0, 1, 2))
+        else:
+            k0, b0 = Conv3x3Params(x.shape[-1] // 2, mid, name="conv0")()
+            x, k0, b0 = nn.dtypes.promote_dtype(x, k0, b0, dtype=self.dtype)
+            y0, st0 = conv3x3_bn_act(
+                x, blockdiag2(k0), tile2(b0),
+                jnp.ones((x.shape[-1],), jnp.float32),
+                jnp.zeros((x.shape[-1],), jnp.float32),
+                prologue=False, stats=train,
+            )
+            if train:
+                s0p, q0p = st0[:, 0].sum(0), st0[:, 1].sum(0)
+        if train:
+            s0 = s0p[:mid] + s0p[mid:]
+            q0 = q0p[:mid] + q0p[mid:]
+        else:
+            s0 = q0 = jnp.zeros((mid,), jnp.float32)
+        n0 = y0.shape[0] * y0.shape[1] * y0.shape[2] * 2
+        scale0, shift0 = FusedBN(mid, name="bn0")(s0, q0, n0, train)
+
+        k1, b1 = Conv3x3Params(mid, self.features, name="conv1")()
+        _, k1, b1 = nn.dtypes.promote_dtype(y0, k1, b1, dtype=self.dtype)
+        y1, st1 = conv3x3_bn_act(
+            y0, blockdiag2(k1), tile2(b1), tile2(scale0), tile2(shift0),
+            prologue=True, stats=train,
+        )
+        if train:
+            s1p, q1p = st1[:, 0].sum(0), st1[:, 1].sum(0)
+            s1 = s1p[: self.features] + s1p[self.features :]
+            q1 = q1p[: self.features] + q1p[self.features :]
+        else:
+            s1 = q1 = jnp.zeros((self.features,), jnp.float32)
+        n1 = y1.shape[0] * y1.shape[1] * y1.shape[2] * 2
+        scale1, shift1 = FusedBN(self.features, name="bn1")(s1, q1, n1, train)
+        out = jnp.maximum(
+            y1.astype(jnp.float32) * tile2(scale1) + tile2(shift1), 0.0
+        )
+        return out.astype(y1.dtype)
 
     def _fused(self, x, mid: int, train: bool) -> jax.Array:
         """Fused-kernel DoubleConv: the two BN+ReLU stages never touch HBM

@@ -321,6 +321,65 @@ def test_fused_backend_matches_xla_backend():
         assert _rel_l2(sf[path], sx[path]) < 1e-3, jax.tree_util.keystr(path)
 
 
+def test_packed_fused_matches_packed_xla():
+    """Lane-packed UNet: conv_backend='pallas_fused' (_packed_fused) tracks
+    'xla' (_packed) in forward, BN running stats, and gradients (tripwire
+    tolerances — see test_fused_backend_matches_xla_backend's noise note).
+    Also pins the param/batch-stats tree contract across the two paths."""
+    from im2im_uq_tpu.models.unet import UNet
+
+    from im2im_uq_tpu.ops.lane_pack import unpack2
+
+    x = jnp.asarray(np.random.RandomState(17).randn(2, 16, 16, 1), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(18).randn(2, 16, 16, 32), jnp.float32)
+
+    outs, grads, stats, trees = {}, {}, {}, {}
+    for backend in ("xla", "pallas_fused"):
+        m = UNet(n_channels_out=1, conv_backend=backend, lane_pack=True)
+        vs = m.init(jax.random.key(0), x, train=False)
+        trees[backend] = jax.tree_util.tree_structure(vs)
+        # the packed trunk emits (B/2, H, W, 2*32) features; heads normally
+        # consume them packed — unpack here to compare against the target
+        outs[backend] = unpack2(m.apply(vs, x, train=False))
+
+        def loss(params):
+            out, upd = m.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean((unpack2(out) - y) ** 2), upd["batch_stats"]
+
+        (_, bs), g = jax.value_and_grad(loss, has_aux=True)(vs["params"])
+        grads[backend], stats[backend] = g, bs
+
+    assert trees["xla"] == trees["pallas_fused"], "checkpoint-portable trees"
+    assert _rel_l2(outs["pallas_fused"], outs["xla"]) < 1e-4
+    sx = dict(jax.tree_util.tree_flatten_with_path(stats["xla"])[0])
+    sf = dict(jax.tree_util.tree_flatten_with_path(stats["pallas_fused"])[0])
+    assert sx.keys() == sf.keys()
+    for path in sx:
+        assert _rel_l2(sf[path], sx[path]) < 1e-3, jax.tree_util.keystr(path)
+    flat_x = dict(jax.tree_util.tree_flatten_with_path(grads["xla"])[0])
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(grads["pallas_fused"])[0])
+    assert flat_x.keys() == flat_f.keys()
+    floor = 0.01 * _tree_norm(grads["xla"])
+    num = 0.0
+    for path in flat_x:
+        num += float(
+            np.linalg.norm(
+                np.asarray(flat_f[path], np.float64).ravel()
+                - np.asarray(flat_x[path], np.float64).ravel()
+            )
+            ** 2
+        )
+        assert _rel_l2(flat_f[path], flat_x[path], floor) < 1.5e-1, (
+            jax.tree_util.keystr(path), _rel_l2(flat_f[path], flat_x[path], floor)
+        )
+    assert num**0.5 / _tree_norm(grads["xla"]) < 6e-2, (
+        "whole-tree gradient disagreement", num**0.5 / _tree_norm(grads["xla"])
+    )
+
+
 def test_unet_backend_train_step_equivalence():
     """One gradient step agrees between backends (VJP correctness in situ)."""
     from im2im_uq_tpu.models.unet import UNet
