@@ -85,8 +85,13 @@ def main():
         ]
     print(f"dtype={dtype} batch={batch} (device-busy ms/step, 3-step trace)")
     for backend, lp in combos:
-        ms = measure(dtype, batch, backend, lp)
         tag = f"{backend}:lane_pack={int(lp)}"
+        try:
+            ms = measure(dtype, batch, backend, lp)
+        except Exception as e:  # e.g. a Mosaic rejection at one level
+            print(f"{tag:<28} ERROR {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
         print(f"{tag:<28} {ms if ms is None else round(ms, 1)}", flush=True)
 
 
