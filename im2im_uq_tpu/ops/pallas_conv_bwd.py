@@ -54,66 +54,121 @@ def bwd_eligible(h: int, cin: int, cout: int, dtype) -> bool:
         return False
     if cin % LANE != 0 or cout % LANE != 0:
         return False
+    if dtype == jnp.float32 and max(cin, cout) > 256:
+        # f32 at C=512 crashes the remote Mosaic compiler in wgrad (the
+        # 9·Cin·Cout f32 accumulator + in-flight partials; bf16 and every
+        # other f32 level compile — probed on v5e). f32 falls back to the
+        # XLA composition there.
+        return False
     return _pick_row_tile(h) is not None
+
+
+def _wgrad_chunks(wp: int):
+    """Width-chunk plan: list of (start, slab_len, interior_len).
+
+    The remote Mosaic compiler crashes (silent exit 1) on this kernel once
+    the per-tile working width passes ~310 columns (probed boundary on
+    v5e: W=304 compiles, W=312 does not), so wide images are processed in
+    column chunks: chunk k DMAs slab cols [start, start+slab) of the
+    padded frame and contributes the dW/db terms of interior (output)
+    cols [start+1, start+1+interior). Starts are sublane-aligned (%8) and
+    chunks partition the interior exactly, so the chunked sum is
+    bit-identical in structure to the single pass (same f32 accumulate).
+    For wp ≤ 248 this degenerates to one chunk — the original codegen.
+    """
+    wv = wp - 2
+    if wv <= 246:
+        return [(0, wp, wv)]
+    cw = 160
+    out = []
+    s = 0
+    while s < wv:
+        ci = min(cw, wv - s)
+        sl = min(wp - s, cw + 8)
+        out.append((s, sl, ci))
+        s += cw
+    return out
 
 
 def _wgrad_kernel(
     xp_hbm, gp_hbm, ps_ref, dw_ref, db_ref, xs, gs_s, xsem, gsem,
-    *, th, h, w, wp, cin, cout, n_tiles, prologue,
+    *, th, h, w, wp, cin, cout, n_tiles, prologue, chunks,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    wv = wp - 2
+    n_w = len(chunks)
 
-    def xcopy(tile, slot):
+    def xcopy(tile, k, slot):
+        s, sl, _ = chunks[k]
         return pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(tile * th, th + 2)], xs.at[slot], xsem.at[slot]
+            xp_hbm.at[b, pl.ds(tile * th, th + 2), pl.ds(s, sl)],
+            xs.at[slot, :, pl.ds(0, sl)],
+            xsem.at[slot],
         )
 
-    def gcopy(tile, slot):
+    def gcopy(tile, k, slot):
+        s, sl, _ = chunks[k]
         return pltpu.make_async_copy(
-            gp_hbm.at[b, pl.ds(tile * th + 1, th)], gs_s.at[slot], gsem.at[slot]
+            gp_hbm.at[b, pl.ds(tile * th + 1, th), pl.ds(s, sl)],
+            gs_s.at[slot, :, pl.ds(0, sl)],
+            gsem.at[slot],
         )
 
     @pl.when(t == 0)
     def _():
-        xcopy(0, 0).start()
-        gcopy(0, 0).start()
+        xcopy(0, 0, 0).start()
+        gcopy(0, 0, 0).start()
 
-    slot = jax.lax.rem(t, 2)
-    nxt = jax.lax.rem(t + 1, 2)
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        xcopy(t + 1, nxt).start()
-        gcopy(t + 1, nxt).start()
-
-    xcopy(t, slot).wait()
-    gcopy(t, slot).wait()
-    x = xs[slot]  # (th+2, wp, cin) rows t*th .. t*th+th+1 of padded input
-    g = gs_s[slot]  # (th, wp, cout) rows t*th+1 .. of padded cotangent
-    if prologue:
-        scale = ps_ref[0].astype(jnp.float32)
-        shift = ps_ref[1].astype(jnp.float32)
-        u = jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0) + t * th
-        cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
-        border = (rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= w)
-        x = jnp.where(border, u, 0.0).astype(x.dtype)
-    gflat = g[:, 1 : 1 + wv, :].reshape(th * wv, cout)
     first = (b == 0) & (t == 0)
-    for dh in range(3):
-        for dw in range(3):
-            xflat = x[dh : dh + th, dw : dw + wv, :].reshape(th * wv, cin)
-            p = jax.lax.dot_general(
-                xflat,
-                gflat,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    acc = [None] * 9
+    gsum = None
+    for k, (s, sl, ci) in enumerate(chunks):
+        slot = jax.lax.rem(t * n_w + k, 2)
+        nxt = jax.lax.rem(t * n_w + k + 1, 2)
+        if k + 1 < n_w:
+            xcopy(t, k + 1, nxt).start()
+            gcopy(t, k + 1, nxt).start()
+        else:
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                xcopy(t + 1, 0, nxt).start()
+                gcopy(t + 1, 0, nxt).start()
+
+        xcopy(t, k, slot).wait()
+        gcopy(t, k, slot).wait()
+        # (th+2, sl, cin) rows t*th.. , cols s.. of the padded input
+        x = xs[slot, :, pl.ds(0, sl)]
+        g = gs_s[slot, :, pl.ds(0, sl)]  # (th, sl, cout) rows t*th+1 ..
+        if prologue:
+            scale = ps_ref[0].astype(jnp.float32)
+            shift = ps_ref[1].astype(jnp.float32)
+            u = jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0)
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (th + 2, sl, 1), 0)
+                + t * th
             )
-            i = dh * 3 + dw
-            dw_ref[i] = jnp.where(first, p, dw_ref[i] + p)
-    gsum = jnp.sum(gflat.astype(jnp.float32), axis=0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, sl, 1), 1) + s
+            border = (rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= w)
+            x = jnp.where(border, u, 0.0).astype(x.dtype)
+        gflat = g[:, 1 : 1 + ci, :].reshape(th * ci, cout)
+        for dh in range(3):
+            for dwi in range(3):
+                xflat = x[dh : dh + th, dwi : dwi + ci, :].reshape(
+                    th * ci, cin
+                )
+                p = jax.lax.dot_general(
+                    xflat,
+                    gflat,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                i = dh * 3 + dwi
+                acc[i] = p if acc[i] is None else acc[i] + p
+        gpart = jnp.sum(gflat.astype(jnp.float32), axis=0)
+        gsum = gpart if gsum is None else gsum + gpart
+    for i in range(9):
+        dw_ref[i] = jnp.where(first, acc[i], dw_ref[i] + acc[i])
     db_ref[0] = jnp.where(first, gsum, db_ref[0] + gsum)
 
 
@@ -144,9 +199,12 @@ def wgrad3x3_pallas_raw(
     assert th is not None and cin % LANE == 0 and cout % LANE == 0, (
         xp.shape, gp.shape,
     )
+    chunks = tuple(_wgrad_chunks(wp))
+    maxsl = max(sl for _, sl, _ in chunks)
     kfn = functools.partial(
         _wgrad_kernel, th=th, h=h, w=w,
         wp=wp, cin=cin, cout=cout, n_tiles=h // th, prologue=prologue,
+        chunks=chunks,
     )
     dw9, db = pl.pallas_call(
         kfn,
@@ -167,8 +225,8 @@ def wgrad3x3_pallas_raw(
             jax.ShapeDtypeStruct((1, cout), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wp, cin), xp.dtype),
-            pltpu.VMEM((2, th, wp, cout), gp.dtype),
+            pltpu.VMEM((2, th + 2, maxsl, cin), xp.dtype),
+            pltpu.VMEM((2, th, maxsl, cout), gp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
