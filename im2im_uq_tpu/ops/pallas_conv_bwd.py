@@ -83,10 +83,12 @@ def _wgrad_chunks(wp: int):
     out = []
     s = 0
     while s < wv:
-        ci = min(cw, wv - s)
         sl = min(wp - s, cw + 8)
+        # let the final chunk absorb the remainder (its slab has 2 spare
+        # columns of halo) — saves a whole near-empty chunk pass at W=320
+        ci = (wv - s) if (wv - s) <= sl - 2 else cw
         out.append((s, sl, ci))
-        s += cw
+        s += cw if ci == cw else ci
     return out
 
 
@@ -151,21 +153,32 @@ def _wgrad_kernel(
             cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, sl, 1), 1) + s
             border = (rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= w)
             x = jnp.where(border, u, 0.0).astype(x.dtype)
-        gflat = g[:, 1 : 1 + ci, :].reshape(th * ci, cout)
-        for dh in range(3):
-            for dwi in range(3):
-                xflat = x[dh : dh + th, dwi : dwi + ci, :].reshape(
-                    th * ci, cin
-                )
+        # Aligned-dot formulation: dW[dh,dwi] = Σ_{r,j} x[dh+r, j] ·
+        # g[r, j+1-dwi] over the chunk interior. Slicing x per tap is a
+        # sublane-misaligned slice + relayout copy (6 per chunk — measured
+        # 14 ms for one 320²×128 wgrad, ~6× off the MXU roofline), so
+        # instead: mask g to the interior once, roll it ±1 column (lazy
+        # sublane rotate), and pair with FREE row slices of x — every
+        # reshape feeding the MXU is then layout-preserving (sl % 8 == 0).
+        cols_g = jax.lax.broadcasted_iota(jnp.int32, (th, sl, 1), 1)
+        gm = jnp.where((cols_g >= 1) & (cols_g < 1 + ci), g, 0)
+        xr = [
+            x[dh : dh + th].reshape(th * sl, cin) for dh in range(3)
+        ]
+        for dwi in range(3):
+            # roll(…, 0) lowers to a zero-width slice Mosaic rejects
+            gr = gm if dwi == 1 else jnp.roll(gm, dwi - 1, axis=1)
+            gs = gr.reshape(th * sl, cout)
+            for dh in range(3):
                 p = jax.lax.dot_general(
-                    xflat,
-                    gflat,
+                    xr[dh],
+                    gs,
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 i = dh * 3 + dwi
                 acc[i] = p if acc[i] is None else acc[i] + p
-        gpart = jnp.sum(gflat.astype(jnp.float32), axis=0)
+        gpart = jnp.sum(gm.astype(jnp.float32), axis=(0, 1))
         gsum = gpart if gsum is None else gsum + gpart
     for i in range(9):
         dw_ref[i] = jnp.where(first, acc[i], dw_ref[i] + acc[i])
@@ -195,7 +208,9 @@ def wgrad3x3_pallas_raw(
     if w is None:
         w = h
     cout = gp.shape[-1]
-    th = _pick_row_tile(h)
+    # wgrad prefers a taller tile than the forward's 8: fewer grid steps
+    # amortize the per-step rolls/masks (320²×128: 4.24 → 3.93 ms).
+    th = 16 if h % 16 == 0 else _pick_row_tile(h)
     assert th is not None and cin % LANE == 0 and cout % LANE == 0, (
         xp.shape, gp.shape,
     )
