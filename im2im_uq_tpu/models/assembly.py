@@ -187,7 +187,8 @@ def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     name = params.get("model", "UNet")
     if name == "UNet":
         return UNet(n_channels_out=1, dtype=dtype, remat=bool(params.get("remat", False)),
-                    conv_backend=cb, lane_pack=resolve_lane_pack(params))
+                    conv_backend=cb, lane_pack=resolve_lane_pack(params),
+                    pool_backend=params.get("pool_backend", "xla"))
     if name == "WNet":
         return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb)
     if name == "ResNet18":

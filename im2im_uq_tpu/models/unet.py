@@ -227,6 +227,33 @@ def max_pool2x2(x: jax.Array) -> jax.Array:
     return jnp.max(x, axis=(2, 4))
 
 
+def pool2x2(x: jax.Array, backend: str = "xla") -> jax.Array:
+    """Down's 2×2/2 max pool (reference unet_parts.py:33).
+
+    ``backend='pallas'``: on a single real TPU chip with an eligible
+    shape, the backward runs the fused Pallas scatter (ops/pallas_pool.py
+    — one pass instead of select_and_scatter + mask/convert fusions,
+    bit-exact incl. tie-breaking, and 2× faster STANDALONE: 2.06 vs
+    4.05 ms at 320²×128). Default stays XLA's nn.max_pool because
+    IN-STEP the custom call regresses the whole train step (126 →
+    158 ms bf16 batch 32): its row-major operand layout constraint
+    forces full-res layout-conversion copies — XLA lays these
+    activations out {3,0,2,1} — and the conversions contaminate
+    neighboring fusions. Measured finding; revisit if Pallas grows
+    layout-aware operands.
+    """
+    from im2im_uq_tpu.ops import pallas_pool as _pp
+
+    if (
+        backend == "pallas"
+        and _pp.pool_bwd_eligible(x.shape, x.dtype)
+        and _pp._on_tpu()
+        and jax.device_count() == 1
+    ):
+        return _pp.max_pool2x2(x)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
 class FusedBN(nn.Module):
     """BatchNorm bookkeeping for the fused-conv path (same tree as flax BN).
 
@@ -607,13 +634,14 @@ class Down(nn.Module):
     features: int
     dtype: Any = None
     conv_backend: str = "xla"
+    pool_backend: str = "xla"
     # input arrives lane-packed: pool it packed (halves the pool's HBM
     # traffic at full res), then unpack at the 4×-smaller pooled size
     packed_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = pool2x2(x, backend=self.pool_backend)
         if self.packed_input:
             from im2im_uq_tpu.ops.lane_pack import unpack2
 
@@ -714,6 +742,7 @@ class UNet(nn.Module):
     n_channels_middle: int = 32
     remat: bool = False  # rematerialize each block's activations in backward
     conv_backend: str = "xla"  # "pallas" = ops/pallas_conv.py 3x3 kernels
+    pool_backend: str = "xla"  # "pallas" = ops/pallas_pool.py backward
     # lane-pack the level-0 (C=64, full-res) region: batch pairs ride the
     # lane dim through inc → down1's pool → up4 → out → (packed) trunk
     # output. Requires an even batch (odd batches silently fall back) and
@@ -739,16 +768,17 @@ class UNet(nn.Module):
         else:
             DC, Dn, UpB = DoubleConv, Down, Up
         cb = self.conv_backend
+        pb = self.pool_backend
         packed = self.packs(x)
         if packed:
             from im2im_uq_tpu.ops.lane_pack import blockdiag2, pack2, tile2
 
             x = pack2(x)
         x1 = DC(64, dtype=self.dtype, conv_backend=cb, packed=packed, name="inc")(x, train)
-        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, packed_input=packed, name="down1")(x1, train)
-        x3 = Dn(256, dtype=self.dtype, conv_backend=cb, name="down2")(x2, train)
-        x4 = Dn(512, dtype=self.dtype, conv_backend=cb, name="down3")(x3, train)
-        x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, name="down4")(x4, train)
+        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, pool_backend=pb, packed_input=packed, name="down1")(x1, train)
+        x3 = Dn(256, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down2")(x2, train)
+        x4 = Dn(512, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down3")(x3, train)
+        x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down4")(x4, train)
 
         x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up1")(x5, x4, train)
         x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up2")(x, x3, train)
