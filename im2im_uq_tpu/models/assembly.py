@@ -147,11 +147,15 @@ def resolve_conv_backend(params: dict) -> str:
     """
     backend = params.get("conv_backend", "auto")
     if backend == "auto":
-        # measured (v5e, bf16 batch 32 @320^2): a blanket Pallas swap
-        # regresses the train step (286 vs 183 ms — jnp.pad copies +
-        # channel-padded 64-ch levels outweigh the aligned-level wins), so
-        # 'auto' stays on XLA until the per-shape gate in ops/pallas_conv
-        # makes the Pallas path a strict win; set 'pallas' to opt in.
+        # measured (v5e, bf16 batch 32 @320^2, device-busy, full backend
+        # matrix — benchmarks/bench_backend_matrix.py): with lane packing,
+        # xla 126.0 ms < pallas 146.3 < pallas_fused 172.6. The standalone
+        # Pallas conv beats XLA's *bare* conv, but in the real step XLA
+        # fuses the BN/ReLU epilogue into its conv custom-call (its fused
+        # conv ~2.5 ms vs our _conv3x3_fused_raw 3.1 ms at level 2) and
+        # the custom-VJP boundary adds pad/convert glue XLA can't fuse
+        # across (bwd-other 43 vs 14 ms). 'auto' therefore stays on XLA;
+        # set 'pallas'/'pallas_fused' to opt in (parity-tested).
         return "xla"
     if backend not in ("xla", "pallas", "pallas_fused"):
         raise ValueError(f"unknown conv_backend {backend!r}")

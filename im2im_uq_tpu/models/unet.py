@@ -742,7 +742,11 @@ class UNet(nn.Module):
     n_channels_middle: int = 32
     remat: bool = False  # rematerialize each block's activations in backward
     conv_backend: str = "xla"  # "pallas" = ops/pallas_conv.py 3x3 kernels
-    pool_backend: str = "xla"  # "pallas" = ops/pallas_pool.py backward
+    # "pallas" = ops/pallas_pool.py backward. Measured on the full train
+    # step (v5e bf16 batch 32, device-busy): 157.9 vs 126.0 ms xla — the
+    # custom-VJP boundary breaks XLA's fusions around the pool, costing
+    # far more than the 8.8 ms pool-bwd bucket it targets. Stays opt-in.
+    pool_backend: str = "xla"
     # lane-pack the level-0 (C=64, full-res) region: batch pairs ride the
     # lane dim through inc → down1's pool → up4 → out → (packed) trunk
     # output. Requires an even batch (odd batches silently fall back) and
