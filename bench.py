@@ -137,6 +137,47 @@ def main() -> None:
     # device-lane op durations / steps) as a load-independent cross-check
     device_ms_per_step = _device_busy_ms(step, ts, x, y, mask, steps=3)
 
+    # in-graph K-step loop: ONE dispatch runs lax.fori_loop over the train
+    # step on a device-resident batch — immune to per-step dispatch overhead
+    # and host→device feeds, so its wall time is a *measured* ms/step that
+    # either confirms the device-busy headline or quantifies the gap
+    # (VERDICT r2 #2)
+    from im2im_uq_tpu.parallel.mesh import shard_batch
+    from im2im_uq_tpu.training.train import make_train_multistep
+
+    def _ingraph_ms(cfg, model, variables, reps: int = 2):
+        loop = make_train_multistep(
+            model, head_loss_pe_fn("quantiles"), cfg, tx, TRAIN_STEPS,
+            mesh=mesh,
+        )
+        lts = TrainState(
+            params=jax.tree.map(lambda a: jnp.array(a, copy=True), variables["params"]),
+            batch_stats=jax.tree.map(
+                lambda a: jnp.array(a, copy=True), variables["batch_stats"]
+            ),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        lts = replicate_tree(mesh, lts)
+        xd, yd, md = shard_batch(mesh, (x, y, mask))
+        lts, l = loop(lts, xd, yd, md)  # compile + warmup
+        jax.block_until_ready(l)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            lts, l = loop(lts, xd, yd, md)
+            jax.block_until_ready(l)
+            dt = (time.perf_counter() - t0) / TRAIN_STEPS * 1e3
+            best = dt if best is None else min(best, dt)
+        del lts
+        return best
+
+    try:
+        ingraph_ms_fp32 = _ingraph_ms(config, state.model, state.variables)
+    except Exception as e:
+        print(f"# in-graph loop (fp32) skipped: {e}", file=sys.stderr)
+        ingraph_ms_fp32 = None
+
     # bf16 activation path (reference numerics stay fp32; this is the
     # TPU-native precision option) — device-busy only
     bf16_cfg = dict(config, compute_dtype="bfloat16")
@@ -156,6 +197,12 @@ def main() -> None:
     ts16, l16 = step16(ts16, x, y, mask)
     jax.block_until_ready(l16)
     device_ms_bf16 = _device_busy_ms(step16, ts16, x, y, mask, steps=3)
+
+    try:
+        ingraph_ms_bf16 = _ingraph_ms(bf16_cfg, state16.model, state16.variables)
+    except Exception as e:
+        print(f"# in-graph loop (bf16) skipped: {e}", file=sys.stderr)
+        ingraph_ms_bf16 = None
 
     # FLOPs/step from XLA's own cost model (for the MFU extra); analytic
     # fallback: ~97 GFLOP fwd/img at 320^2 (XLA cost analysis of the UNet
@@ -203,17 +250,27 @@ def main() -> None:
         with open(base_file) as fh:
             baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
 
-    # Headline = device-busy-derived imgs/sec/chip on the production (bf16)
-    # train step — the load-independent number. Wall clock is an extra, with
-    # a reliability flag: wall < busy is physically impossible, so when the
-    # tunnel reports that, the wall number is marked unreliable.
+    # Headline = measured wall of the in-graph K-step loop (one dispatch,
+    # device-resident batch — immune to dispatch overhead and tunnel load
+    # windows) on the production (bf16) train step; device-busy is the
+    # cross-check. Falls back to device-busy, then per-step wall.
     busy_ms = device_ms_bf16 or device_ms_per_step
-    if busy_ms:
+    if ingraph_ms_bf16:
+        imgs_per_sec = BATCH * 1e3 / ingraph_ms_bf16 / n_chips
+        basis = "ingraph_wall_bf16"
+    elif busy_ms:
         imgs_per_sec = BATCH * 1e3 / busy_ms / n_chips
         basis = "device_busy_bf16" if device_ms_bf16 else "device_busy_fp32"
     else:
         imgs_per_sec = BATCH / (wall_ms_per_step / 1e3) / n_chips
         basis = "wall_clock (no profiler trace available)"
+    # settled when the measured wall of one dispatch sits within ~10% of the
+    # profiler's device-busy number (VERDICT r2 #2)
+    wall_gap_settled = (
+        ingraph_ms_bf16 is not None
+        and device_ms_bf16 is not None
+        and abs(ingraph_ms_bf16 - device_ms_bf16) / device_ms_bf16 <= 0.10
+    )
     # wall and busy are both fp32-step numbers here; wall < busy is impossible
     wall_reliable = device_ms_per_step is None or wall_ms_per_step >= device_ms_per_step
     mfu_bf16 = (
@@ -243,6 +300,13 @@ def main() -> None:
                     ),
                     "wall_ms_per_step_fp32": round(wall_ms_per_step, 2),
                     "wall_clock_reliable": wall_reliable,
+                    "ingraph_wall_ms_per_step_fp32": (
+                        round(ingraph_ms_fp32, 2) if ingraph_ms_fp32 else None
+                    ),
+                    "ingraph_wall_ms_per_step_bf16": (
+                        round(ingraph_ms_bf16, 2) if ingraph_ms_bf16 else None
+                    ),
+                    "wall_vs_busy_gap_settled": wall_gap_settled,
                     "mfu_bf16": mfu_bf16,
                     "flops_per_step": flops_per_step,
                     "calibration_seconds_n128_L1000": round(calib_seconds, 2),

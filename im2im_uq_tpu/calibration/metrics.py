@@ -90,8 +90,11 @@ def eval_set_metrics(
 
     losses_l, sizes_l, resid_l, spatial_sum, n_seen = [], [], [], None, 0
     for x, y, mask in iterate_batches(dataset, bs, shuffle=False):
-        losses, sizes, residuals, miss = jax.device_get(
-            step(uq_state.variables, x, y, jnp.float32(lam))
+        xb, yb = mesh_lib.put_batch(mesh, x, y)
+        # np scalar, not jnp: a committed local array can't recommit to a
+        # multi-process replicated sharding, host scalars can
+        losses, sizes, residuals, miss = mesh_lib.fetch(
+            step(uq_state.variables, xb, yb, np.float32(lam))
         )
         real = mask.astype(bool)
         losses, sizes, residuals, miss = (

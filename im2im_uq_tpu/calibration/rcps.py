@@ -75,10 +75,46 @@ def default_table_method(config: Optional[dict] = None) -> str:
     return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "direct"
 
 
-def _slab_fn(model, utype: str, lam_tuple: tuple, method: str):
+def _slab_fn(model, utype: str, lam_tuple: tuple, method: str, mesh=None):
     """(variables, x, y) → (B, L) fraction-missed slab (shared body for the
-    table and distributed-risk programs)."""
+    table and distributed-risk programs).
+
+    Under a mesh, the Pallas backend runs through ``shard_map`` over the
+    data axis: each device executes the kernel on its local batch shard
+    (the table is embarrassingly parallel across examples, so no
+    collectives are needed and the output stays batch-sharded). GSPMD has
+    no partitioning rule for ``pallas_call``, so without this wrap the
+    TPU-default method would fail or silently replicate on a pod mesh —
+    the reference's calibration runs on whatever hardware exists
+    (core/calibration/calibrate_model.py:89-145) and so must ours.
+    """
     lam = jnp.asarray(lam_tuple, jnp.float32)
+
+    if mesh is not None and method == "pallas":
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh_lib.DATA_AXIS)
+
+        def local_table(pred, dl, du, y, lam):
+            params = set_ops.IntervalParams(pred, dl, du)
+            return set_ops.rcps_loss_table(params, y, lam, method=method)
+
+        sharded_table = jax.shard_map(
+            local_table,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, P()),
+            out_specs=spec,
+            # no collectives inside (per-example math only); pallas_call does
+            # not carry the varying-across-mesh annotations check_vma wants
+            check_vma=False,
+        )
+
+        def slab(variables, x, y):
+            out = model.apply(variables, x, train=False)
+            p = set_ops.interval_params(out, utype)
+            return sharded_table(p.pred, p.dl, p.du, y, lam)
+
+        return slab
 
     def slab(variables, x, y):
         out = model.apply(variables, x, train=False)
@@ -90,7 +126,7 @@ def _slab_fn(model, utype: str, lam_tuple: tuple, method: str):
 
 @functools.lru_cache(maxsize=64)
 def _cached_table_step(model, utype: str, lam_tuple: tuple, mesh, method: str):
-    step = _slab_fn(model, utype, lam_tuple, method)
+    step = _slab_fn(model, utype, lam_tuple, method, mesh)
     if mesh is None:
         return jax.jit(step)
     repl = mesh_lib.replicated(mesh)
@@ -100,7 +136,7 @@ def _cached_table_step(model, utype: str, lam_tuple: tuple, mesh, method: str):
 
 @functools.lru_cache(maxsize=64)
 def _cached_risk_step(model, utype: str, lam_tuple: tuple, mesh, method: str):
-    slab = _slab_fn(model, utype, lam_tuple, method)
+    slab = _slab_fn(model, utype, lam_tuple, method, mesh)
 
     def sums(variables, x, y, mask):
         s = slab(variables, x, y)  # (B, L)
@@ -147,7 +183,8 @@ def compute_loss_table(
     batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
     rows = []
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
-        slab = np.asarray(jax.device_get(step(uq_state.variables, x, y)))
+        xb, yb = mesh_lib.put_batch(mesh, x, y)
+        slab = np.asarray(mesh_lib.fetch(step(uq_state.variables, xb, yb)))
         rows.append(slab[mask.astype(bool)])
     return np.concatenate(rows, axis=0)
 
@@ -184,7 +221,9 @@ def compute_risks_device(
     count = 0.0
     batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
-        s, n = jax.device_get(step(uq_state.variables, x, y, mask))
+        s, n = mesh_lib.fetch(
+            step(uq_state.variables, *mesh_lib.put_batch(mesh, x, y, mask))
+        )
         total += np.asarray(s, np.float64)
         count += float(n)
     if count == 0:
@@ -236,7 +275,9 @@ def precompile_calibration(
         # the program from the persistent cache (measured ~12 s at FastMRI
         # scale)
         try:
-            jax.block_until_ready(step(variables, x0, y0))
+            jax.block_until_ready(
+                step(variables, *mesh_lib.put_batch(mesh, x0, y0))
+            )
         except Exception as e:  # best-effort: calibration still compiles lazily
             print(f"calibration precompile skipped: {e}")
 

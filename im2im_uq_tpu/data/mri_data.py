@@ -16,6 +16,13 @@ its public surface). Same behaviors:
 
 Transforms follow the reference callable contract
 (kspace, mask, target, attrs, fname, slice) → sample.
+
+Provenance note: the reference vendored this module from
+facebookresearch/fastMRI (MIT); the ``fetch_dir`` key set
+(knee_path/brain_path/log_path) and template-YAML behavior are that
+upstream's config-file contract, which users' existing
+``fastmri_dirs.yaml`` files depend on — the keys are therefore kept
+verbatim while the code is an independent implementation.
 """
 
 from __future__ import annotations
@@ -51,9 +58,9 @@ def fetch_dir(
         with open(data_config_file, "w") as fh:
             yaml.dump(default_config, fh)
         warnings.warn(
-            f"Path config at {data_config_file.resolve()} does not exist. "
-            "A template has been created for you. "
-            "Please enter the directory paths for your system to have defaults."
+            f"No path config found at {data_config_file.resolve()}; wrote a "
+            "template there — fill in the data directories for this machine "
+            "before relying on the returned default."
         )
         return Path(default_config[key])
     with open(data_config_file) as fh:

@@ -31,6 +31,8 @@ __all__ = [
     "replicate_tree",
     "pad_to_multiple",
     "mesh_batch_size",
+    "put_batch",
+    "fetch",
 ]
 
 DATA_AXIS = "data"
@@ -89,11 +91,70 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a pytree fully replicated on the mesh."""
+    """Device-put a pytree fully replicated on the mesh.
+
+    Multi-process: committed single-device arrays can't be re-put onto a
+    global sharding directly, but host numpy with a replicated sharding is
+    allowed (every process holds the identical value) — so round-trip
+    through numpy there.
+    """
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), sharding), tree
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
 def pad_to_multiple(n: int, k: int) -> int:
     """Smallest multiple of k that is >= n."""
     return ((n + k - 1) // k) * k
+
+
+def put_batch(mesh: Optional[Mesh], *arrays: Any) -> tuple:
+    """Prepare host batch arrays for a (possibly multi-process) mesh feed.
+
+    Single process (or no mesh): pass-through — jit's ``in_shardings``
+    device-puts numpy directly, no extra copy. Multi-process: jit rejects
+    numpy with non-trivial shardings, so build global ``jax.Array``s via
+    ``make_array_from_callback``; every process holds the identical full
+    batch (the pipelines seed all processes identically) and each device
+    reads only its own slice.
+    """
+    import jax
+
+    if mesh is None or jax.process_count() == 1:
+        return arrays
+    sh = batch_sharding(mesh)
+    return tuple(
+        jax.make_array_from_callback(
+            np.shape(a), sh, lambda idx, a=a: np.asarray(a)[idx]
+        )
+        for a in arrays
+    )
+
+
+def fetch(tree: Any) -> Any:
+    """``jax.device_get`` that also works on multi-process (global) arrays.
+
+    Single process: plain device_get. Multi-process: batch-sharded outputs
+    live partly on other hosts' devices, so device_get would raise — fully
+    replicated arrays read the local replica, everything else goes through
+    ``multihost_utils.process_allgather`` (a collective: every process must
+    call fetch on the same values in the same order, which the pipeline
+    loops guarantee since all processes iterate identical batch streams).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def get(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            if a.is_fully_replicated:
+                return np.asarray(a)
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return jax.device_get(a)
+
+    return jax.tree.map(get, tree)

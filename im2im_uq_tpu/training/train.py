@@ -35,7 +35,13 @@ from im2im_uq_tpu.parallel import mesh as mesh_lib
 from im2im_uq_tpu.training import checkpoint as ckpt
 from im2im_uq_tpu.utils.logging import MetricsLogger
 
-__all__ = ["TrainState", "make_train_step", "train_net", "PreemptionInterrupt"]
+__all__ = [
+    "TrainState",
+    "make_train_step",
+    "make_train_multistep",
+    "train_net",
+    "PreemptionInterrupt",
+]
 
 
 class PreemptionInterrupt(RuntimeError):
@@ -70,24 +76,17 @@ def _masked_mean(per_example: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(per_example * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_train_step(
+def _train_step_body(
     model,
     loss_pe_fn: Callable,
     hyper: dict,
     tx: optax.GradientTransformation,
-    mesh=None,
     preprocess: Optional[Callable] = None,
 ):
-    """Build the jitted SPMD train step: (state, x, y, mask) → (state, loss).
+    """Pure (state, x, y, mask) → (state, loss, grads) step body, shared by
+    the per-batch jitted step and the in-graph multi-step loop."""
 
-    ``preprocess`` (optional) maps the raw batch input to the model input
-    INSIDE the compiled program — e.g. ops.mri_pipeline.zero_filled_recon
-    closes the k-space mask/IFFT/crop/magnitude physics into the same XLA
-    program as the forward/backward, so the host loader ships raw k-space
-    and the device never waits on host FFTs.
-    """
-
-    def train_step(state: TrainState, x, y, mask):
+    def body(state: TrainState, x, y, mask):
         if preprocess is not None:
             x = preprocess(x)
 
@@ -110,6 +109,74 @@ def make_train_step(
             opt_state=new_opt,
             step=state.step + 1,
         )
+        return new_state, loss, grads
+
+    return body
+
+
+def make_train_multistep(
+    model,
+    loss_pe_fn: Callable,
+    hyper: dict,
+    tx: optax.GradientTransformation,
+    num_steps: int,
+    mesh=None,
+    preprocess: Optional[Callable] = None,
+):
+    """``num_steps`` train steps in ONE compiled program: (state, x, y, mask)
+    → (state, last loss), looped via ``lax.fori_loop`` over the same step
+    body ``make_train_step`` uses, on a device-resident batch.
+
+    One dispatch executes the whole loop, so host dispatch overhead and
+    host→device batch feeds are out of the measurement entirely — timing
+    this single call settles how much of any wall-vs-device-busy gap is
+    dispatch/transfer versus on-chip work (bench.py reports both). Also the
+    building block for dispatch-free burn-in loops on real pods.
+    """
+    body = _train_step_body(model, loss_pe_fn, hyper, tx, preprocess)
+
+    def multistep(state: TrainState, x, y, mask):
+        def it(_, carry):
+            st, _ = carry
+            new_st, loss, _ = body(st, x, y, mask)
+            return new_st, loss.astype(jnp.float32)
+
+        init = (state, jnp.zeros((), jnp.float32))
+        return jax.lax.fori_loop(0, num_steps, it, init)
+
+    if mesh is None:
+        return jax.jit(multistep, donate_argnums=0)
+    repl = mesh_lib.replicated(mesh)
+    shard = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        multistep,
+        in_shardings=(repl, shard, shard, shard),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+
+def make_train_step(
+    model,
+    loss_pe_fn: Callable,
+    hyper: dict,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    preprocess: Optional[Callable] = None,
+):
+    """Build the jitted SPMD train step: (state, x, y, mask) → (state, loss).
+
+    ``preprocess`` (optional) maps the raw batch input to the model input
+    INSIDE the compiled program — e.g. ops.mri_pipeline.zero_filled_recon
+    closes the k-space mask/IFFT/crop/magnitude physics into the same XLA
+    program as the forward/backward, so the host loader ships raw k-space
+    and the device never waits on host FFTs.
+    """
+
+    body = _train_step_body(model, loss_pe_fn, hyper, tx, preprocess)
+
+    def train_step(state: TrainState, x, y, mask):
+        new_state, loss, grads = body(state, x, y, mask)
         if watch:
             # gradient observability (counterpart of wandb.watch, reference
             # train.py:126): global + per-top-level-module L2 grad norms,
@@ -168,7 +235,7 @@ def eval_net(
     total, count = 0.0, 0
     batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
-        loss, n = step(uq_state.variables, x, y, mask)
+        loss, n = step(uq_state.variables, *mesh_lib.put_batch(mesh, x, y, mask))
         total += float(loss)
         count += int(n)
     return total / count if count else 0.0
@@ -400,7 +467,7 @@ def _run_epochs(
         losses = []
         grad_norms = None
         for x, y, mask in batches:
-            out = train_step(state, x, y, mask)
+            out = train_step(state, *mesh_lib.put_batch(mesh, x, y, mask))
             state, loss = out[0], out[1]
             if len(out) == 3:
                 grad_norms = out[2]  # last step's norms logged per epoch

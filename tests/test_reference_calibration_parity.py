@@ -138,3 +138,44 @@ def test_rcps_guarantee_holds_empirically():
             violations += 1
     # δ = 0.2 → expect ≤ ~6/30 violations; allow slack for test stability
     assert violations <= 10
+
+
+def test_evaluate_from_loss_table_delta_quirk():
+    """Pin the reference's δ-vs-α quirk: evaluate_from_loss_table accepts the
+    first λ whose HB⁺ is ≤ δ — NOT ≤ α as the RCPS stopping rule would
+    suggest (reference calibrate_model.py:70 vs 140). The risk-violin
+    protocol (scripts/plots.py plot_risks) consumes this function, so a
+    well-meaning future 'fix' to α would silently shift every violin.
+    Crafted table: a column whose UCB sits strictly between α and δ must be
+    the one selected. Rows are identical, making the random calib/val split
+    irrelevant, so the value is also compared against the live reference
+    oracle.
+    """
+    from core.calibration.calibrate_model import (
+        evaluate_from_loss_table as ref_evaluate,
+    )
+
+    from im2im_uq_tpu.calibration.rcps import evaluate_from_loss_table
+
+    alpha, delta = 0.05, 0.3
+    n_rows, n = 120, 60
+    # NB: no 0.0 column — the reference's HB(0) quirk returns UCB 1.0
+    col_risks = np.array([0.9, 0.5, 0.25, 0.12, 0.01])
+    ucbs = np.array([HB_mu_plus(float(v), n, delta) for v in col_risks])
+    j_delta = int(np.argmax(ucbs <= delta))
+    # precondition: the crafted grid actually separates the two rules —
+    # some column passes α, but a strictly earlier one already passes δ
+    assert np.any(ucbs <= alpha)
+    j_alpha = int(np.argmax(ucbs <= alpha))
+    assert ucbs[j_delta] <= delta and ucbs[j_delta] > alpha
+    assert j_alpha > j_delta
+
+    table = np.tile(col_risks, (n_rows, 1))
+    got = evaluate_from_loss_table(
+        table, n, alpha, delta, rng=np.random.RandomState(0)
+    )
+    assert got == pytest.approx(col_risks[j_delta], abs=1e-12)
+    assert got != pytest.approx(col_risks[j_alpha], abs=1e-12)
+
+    ref = float(ref_evaluate(torch.tensor(table), n, alpha, delta))
+    assert got == pytest.approx(ref, abs=1e-9)
