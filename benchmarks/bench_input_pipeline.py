@@ -7,11 +7,22 @@ the host-side work per training example. Compare against the train
 step's device-busy imgs/sec (bench.py extras): the loader must be
 faster, or the chip starves.
 
-Usage: PYTHONPATH=/root/repo python benchmarks/bench_input_pipeline.py [batch] [--raw-kspace]
+Usage: PYTHONPATH=/root/repo python benchmarks/bench_input_pipeline.py \
+    [batch] [--raw-kspace] [--chip-rate N]
+
+``--chip-rate`` (default 254, the v5e bf16 device-busy imgs/s/chip from
+bench.py) sizes the host-core budget: this VM is single-core with a CPU
+quota, so pipeline-level numbers cannot demonstrate saturation here —
+the per-item sequential cost is the stable per-core rate, and the budget
+formula ``cores = ceil(chip_rate / per_core_rate)`` is the deployment
+answer (real TPU hosts have 100+ cores). The ``loader_procs`` sweep
+shows the process-pool scaling machinery works (and where this VM's
+quota caps it).
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import tempfile
@@ -23,6 +34,9 @@ import numpy as np
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32
     raw = "--raw-kspace" in sys.argv
+    chip_rate = 254.0
+    if "--chip-rate" in sys.argv:
+        chip_rate = float(sys.argv[sys.argv.index("--chip-rate") + 1])
 
     from im2im_uq_tpu.data.core import iterate_batches
     from im2im_uq_tpu.data.fastmri import FastMRIDataset, write_synthetic_volume
@@ -52,8 +66,28 @@ def main():
         t0 = time.perf_counter()
         for i in range(n):
             _ = ds[i]
-        print(f"sequential __getitem__: {n / (time.perf_counter() - t0):.1f} imgs/sec "
+        per_core = n / (time.perf_counter() - t0)
+        print(f"sequential __getitem__: {per_core:.1f} imgs/sec "
               f"({'raw k-space' if raw else 'image transform'})")
+        cores = math.ceil(chip_rate / per_core)
+        print(f"host-core budget: {cores} core(s) of loader_procs workers "
+              f"feed one chip at {chip_rate:.0f} imgs/s "
+              f"(= ceil({chip_rate:.0f} / {per_core:.1f} per-core))")
+
+        from im2im_uq_tpu.data.core import ProcessPoolFetcher
+
+        pools = []
+
+        def procs_pipeline(nprocs):
+            fetcher = ProcessPoolFetcher(ds, nprocs)
+            pools.append(fetcher)
+
+            def it():
+                return iterate_batches(ds, batch, shuffle=True,
+                                       rng=np.random.RandomState(0),
+                                       fetcher=fetcher)
+
+            return it
 
         for name, it in (
             # default pipeline: sequential fetch on the producer thread
@@ -66,6 +100,10 @@ def main():
             ("thread-pool pipeline (num_threads=8)",
              lambda: iterate_batches(ds, batch, shuffle=True, num_threads=8,
                                      rng=np.random.RandomState(0))),
+            # the GIL/h5py escape train_net's loader_procs config uses —
+            # real scaling needs real cores (this VM has one)
+            ("loader_procs=2 pipeline", procs_pipeline(2)),
+            ("loader_procs=4 pipeline", procs_pipeline(4)),
             ("grain", None),
         ):
             if name == "grain":
@@ -86,6 +124,8 @@ def main():
             print(f"{name}: {imgs / dt:.1f} imgs/sec host-side "
                   f"({n} slices x 3 epochs, batch {batch}, "
                   f"{'raw k-space' if raw else 'image transform'})")
+        for p in pools:
+            p.close()
 
 
 if __name__ == "__main__":

@@ -190,7 +190,7 @@ def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     cb = resolve_conv_backend(params)
     name = params.get("model", "UNet")
     if name == "UNet":
-        return UNet(n_channels_out=1, dtype=dtype, remat=bool(params.get("remat", False)),
+        return UNet(n_channels_out=1, dtype=dtype, remat=params.get("remat", False),
                     conv_backend=cb, lane_pack=resolve_lane_pack(params),
                     pool_backend=params.get("pool_backend", "xla"))
     if name == "WNet":

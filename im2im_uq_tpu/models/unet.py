@@ -20,6 +20,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from im2im_uq_tpu.ops.resize import upsample2x_align_corners
 
@@ -250,8 +251,8 @@ def pool2x2(x: jax.Array, backend: str = "xla") -> jax.Array:
         and _pp._on_tpu()
         and jax.device_count() == 1
     ):
-        return _pp.max_pool2x2(x)
-    return nn.max_pool(x, (2, 2), strides=(2, 2))
+        return checkpoint_name(_pp.max_pool2x2(x), "pool_out")
+    return checkpoint_name(nn.max_pool(x, (2, 2), strides=(2, 2)), "pool_out")
 
 
 class FusedBN(nn.Module):
@@ -441,7 +442,11 @@ class DoubleConv(nn.Module):
                 name=f"bn{i}",
             )(x)
 
-        x = nn.relu(bn(0, x))
+        # checkpoint_name tags are identity ops outside jax.checkpoint; under
+        # UNet.remat they let the policy pick which tensors survive to the
+        # backward (conv outputs) vs get recomputed (BN normalize + ReLU)
+        x = checkpoint_name(x, "conv_out")
+        x = checkpoint_name(nn.relu(bn(0, x)), "bn_relu_out")
         if use_pallas:
             from im2im_uq_tpu.ops.pallas_conv import conv3x3 as pconv3x3
 
@@ -452,7 +457,8 @@ class DoubleConv(nn.Module):
             x = pconv3x3(x, kernel, bias)
         else:
             x = conv3x3(self.features, x.shape[-1], dtype=self.dtype, name="conv1")(x)
-        return nn.relu(bn(1, x))
+        x = checkpoint_name(x, "conv_out")
+        return checkpoint_name(nn.relu(bn(1, x)), "bn_relu_out")
 
     def _packed(self, x, mid: int, train: bool) -> jax.Array:
         """Lane-packed DoubleConv: identical math per image half, full MXU
@@ -482,14 +488,22 @@ class DoubleConv(nn.Module):
                 x, kernel, bias, dtype=self.dtype
             )
             x = conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias)
-        x = nn.relu(
-            PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn0")(x, train)
+        x = checkpoint_name(x, "conv_out")
+        x = checkpoint_name(
+            nn.relu(
+                PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn0")(x, train)
+            ),
+            "bn_relu_out",
         )
         kernel, bias = Conv3x3Params(mid, self.features, name="conv1")()
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
         x = conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias)
-        return nn.relu(
-            PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x, train)
+        x = checkpoint_name(x, "conv_out")
+        return checkpoint_name(
+            nn.relu(
+                PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x, train)
+            ),
+            "bn_relu_out",
         )
 
     def _packed_fused(self, x, mid: int, train: bool) -> jax.Array:
@@ -673,7 +687,7 @@ class Up(nn.Module):
             x1 = pack2(x1)
         if self.bilinear:
             pf = 2 if self.packed else 1
-            x1 = upsample2x_align_corners(x1)
+            x1 = checkpoint_name(upsample2x_align_corners(x1), "resize_out")
             mid = x1.shape[-1] // pf // 2 + x2.shape[-1] // pf // 2
         else:
             half = x1.shape[-1] // 2
@@ -740,7 +754,12 @@ class UNet(nn.Module):
     bilinear: bool = True
     dtype: Any = None
     n_channels_middle: int = 32
-    remat: bool = False  # rematerialize each block's activations in backward
+    # False | True/"full" (save nothing per block — the memory-for-FLOPs
+    # trade for batches past HBM) | "conv" (save only conv/pool/resize
+    # outputs; BN normalize+ReLU and their stats recompute in the backward)
+    # | "bn" (save everything except the post-BN/ReLU tensors — the minimal
+    # recompute-the-elementwise experiment from VERDICT r2 #3)
+    remat: Any = False
     conv_backend: str = "xla"  # "pallas" = ops/pallas_conv.py 3x3 kernels
     # "pallas" = ops/pallas_pool.py backward. Measured on the full train
     # step (v5e bf16 batch 32, device-busy): 157.9 vs 126.0 ms xla — the
@@ -766,9 +785,22 @@ class UNet(nn.Module):
         # the `train` flag must stay a static (python) bool through remat;
         # its positional index depends on the block's arity (Up takes two maps)
         if self.remat:
-            DC = nn.remat(DoubleConv, static_argnums=(2,))
-            Dn = nn.remat(Down, static_argnums=(2,))
-            UpB = nn.remat(Up, static_argnums=(3,))
+            mode = "full" if self.remat is True else str(self.remat)
+            if mode == "full":
+                policy = None
+            elif mode == "conv":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "pool_out", "resize_out"
+                )
+            elif mode == "bn":
+                policy = jax.checkpoint_policies.save_anything_except_these_names(
+                    "bn_relu_out"
+                )
+            else:
+                raise ValueError(f"unknown remat mode {self.remat!r}")
+            DC = nn.remat(DoubleConv, static_argnums=(2,), policy=policy)
+            Dn = nn.remat(Down, static_argnums=(2,), policy=policy)
+            UpB = nn.remat(Up, static_argnums=(3,), policy=policy)
         else:
             DC, Dn, UpB = DoubleConv, Down, Up
         cb = self.conv_backend
