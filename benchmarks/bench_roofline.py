@@ -54,12 +54,28 @@ def _array_bytes(type_text: str) -> int:
     return total
 
 
+def _balanced(text: str, open_ch: str = "(", close_ch: str = ")") -> int:
+    """Index one past the matching close of the opener at text[0]."""
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch == open_ch:
+            depth += 1
+        elif ch == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(text)
+
+
 def parse_entry(hlo: str):
-    """Parse the ENTRY computation: name -> (type_text, [operand names], def line).
+    """Parse the ENTRY computation: name -> (type_text, opcode, operands, rhs).
 
     Only ENTRY instructions touch HBM at the granularity the profiler
     reports (fusion internals live in registers/VMEM); inner-computation
     names can collide with ENTRY names, so everything else is skipped.
+    Tuple types contain spaces and nested parens (layout tilings like
+    ``{3,0,2,1:T(8,128)(2,1)}``), so the type is scanned balanced, not
+    regexed.
     """
     lines = hlo.splitlines()
     out = {}
@@ -72,31 +88,51 @@ def parse_entry(hlo: str):
             break
         if not in_entry:
             continue
-        m = re.match(r"\s*(?:ROOT )?%?([\w.-]+)\s*=\s*((?:\([^)]*\)|[^\s]+))\s+(\w[\w-]*)\((.*)$", line)
+        m = re.match(r"\s*(?:ROOT )?%?([\w.-]+)\s*=\s*(.*)$", line)
         if not m:
             continue
-        name, type_text, opcode, rest = m.groups()
-        # operands: the first ()-group content, names prefixed with %
-        depth, args_end = 1, len(rest)
-        for i, ch in enumerate(rest):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    args_end = i
-                    break
-        operands = re.findall(r"%([\w.-]+)", rest[:args_end])
-        out[name] = (type_text, opcode, operands, line.strip())
+        name, rhs = m.groups()
+        if rhs.startswith("("):  # tuple type: balanced scan
+            tlen = _balanced(rhs)
+        else:
+            tlen = rhs.find(" ")
+            if tlen < 0:
+                continue
+        type_text, rest = rhs[:tlen], rhs[tlen:].lstrip()
+        om = re.match(r"([\w-]+)\(", rest)
+        if not om:
+            continue
+        opcode = om.group(1)
+        args = rest[om.end():]
+        operands = re.findall(r"%([\w.-]+)", args[: _balanced("(" + args) - 1])
+        out[name] = (type_text, opcode, operands, rhs)
     return out
+
+
+_FREE_OPS = {"get-tuple-element", "tuple", "parameter", "bitcast", "constant"}
+# Async data movement: the -start op's result tuple already holds
+# (dest, source, context), i.e. read + write traffic exactly once; the
+# -done op just unwraps it. Counting operands too would double/triple
+# count, and the profiler hides their true time (overlapped with
+# compute), so they get their own family below.
+_ASYNC_START = {"copy-start", "async-start", "slice-start", "all-gather-start",
+                "collective-permute-start", "all-reduce-start"}
+_ASYNC_DONE = {"copy-done", "async-done", "slice-done", "all-gather-done",
+               "collective-permute-done", "all-reduce-done"}
 
 
 def op_bytes(name: str, entry: dict) -> int:
     """HBM bytes an ENTRY op moves: operand arrays read + output written."""
     type_text, opcode, operands, _ = entry[name]
+    if opcode in _FREE_OPS or opcode in _ASYNC_DONE:
+        return 0
+    if opcode in _ASYNC_START:
+        return _array_bytes(type_text)
     total = _array_bytes(type_text)
     for o in operands:
-        if o in entry:
+        if o in entry and entry[o][1] != "tuple":
+            if entry[o][1] in _ASYNC_START or entry[o][1] in _ASYNC_DONE:
+                continue  # traffic already charged to the async start op
             total += _array_bytes(entry[o][0])
     return total
 
@@ -122,6 +158,8 @@ def main():
     backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
     lane_pack = sys.argv[4] if len(sys.argv) > 4 else "auto"
     remat = sys.argv[5] if len(sys.argv) > 5 else False
+    if isinstance(remat, str) and remat.lower() in ("false", "0", "none"):
+        remat = False
     cfg = {
         "model": "UNet", "uncertainty_type": "quantiles",
         "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
@@ -175,10 +213,17 @@ def main():
         if name in entry:
             d = entry[name][3]
             b = op_bytes(name, entry)
+            opcode = entry[name][1]
         else:
-            d, b = "", 0
+            d, b, opcode = "", 0, ""
             missing.append((ms, name))
-        f = classify(name, d)
+        if opcode in _ASYNC_START or opcode in _ASYNC_DONE:
+            # real HBM traffic but overlapped with compute in the schedule:
+            # its time hides inside other ops, so keep it out of the
+            # per-family bound-ness comparison.
+            f = "async copy (overlapped)"
+        else:
+            f = classify(name, d)
         fam_ms[f] += ms
         fam_bytes[f] += b
 
