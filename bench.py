@@ -217,6 +217,36 @@ def main() -> None:
         pass
     if not flops_per_step:
         flops_per_step = 97e9 * 3 * BATCH
+
+    # serving throughput: the scripts.infer path — calibrated-interval
+    # forward (nested_sets) on the production bf16 model. Device-busy from
+    # a short trace (tunnel-load-independent), wall as the dispatch check.
+    serve_ms_busy = serve_ms_wall = None
+    try:
+        import tempfile as _tf
+
+        from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+
+        eval16 = state16.replace(
+            variables={"params": ts16.params, "batch_stats": ts16.batch_stats}
+        )
+        xj = jnp.asarray(x)
+        lo, _, hi = eval16.nested_sets(xj, lam=1.0)  # compile + warmup
+        jax.block_until_ready(lo)
+        t0 = time.perf_counter()
+        for _ in range(TRAIN_STEPS):
+            lo, _, hi = eval16.nested_sets(xj, lam=1.0)
+        jax.block_until_ready(lo)
+        serve_ms_wall = (time.perf_counter() - t0) / TRAIN_STEPS * 1e3
+        with _tf.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                for _ in range(3):
+                    lo, _, hi = eval16.nested_sets(xj, lam=1.0)
+                jax.block_until_ready(lo)
+            bd = device_busy_breakdown(td, steps=3)
+        serve_ms_busy = bd["total_ms"] if bd else None
+    except Exception as e:
+        print(f"# serving throughput skipped: {e}", file=sys.stderr)
     del ts16, state16
 
     # calibration wall-clock at FastMRI scale (forward + full λ-grid table + λ̂)
@@ -311,6 +341,15 @@ def main() -> None:
                     "flops_per_step": flops_per_step,
                     "calibration_seconds_n128_L1000": round(calib_seconds, 2),
                     "calibration_seconds_incl_compile": round(calib_cold, 2),
+                    "serving_busy_ms_per_batch_bf16": (
+                        round(serve_ms_busy, 2) if serve_ms_busy else None
+                    ),
+                    "serving_imgs_per_sec_bf16": (
+                        round(BATCH * 1e3 / serve_ms_busy, 1) if serve_ms_busy else None
+                    ),
+                    "serving_wall_ms_per_batch_bf16": (
+                        round(serve_ms_wall, 2) if serve_ms_wall else None
+                    ),
                     "lhat": state.lhat,
                     "baseline_note": "vs_baseline compares one v5e chip against the "
                     "reference implementation on this host's CPU (torch has no TPU "
