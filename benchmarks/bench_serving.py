@@ -11,7 +11,14 @@ it the same way bench_time_buckets sizes the train step:
   3. the roofline context: forward HLO bytes + XLA FLOPs so headroom is a
      number, not a guess (same method as benchmarks/bench_roofline.py).
 
-Usage: PYTHONPATH=/root/repo python benchmarks/bench_serving.py [bfloat16|fp32] [batches...]
+Usage:
+  PYTHONPATH=/root/repo python benchmarks/bench_serving.py \
+      [bfloat16|fp32] [conv_backend] [batches...]
+
+conv_backend ∈ {auto, xla, pallas, pallas_fused}: the train-step gates
+keep XLA because the custom-VJP boundary around each Pallas call costs
+more than the kernel wins — but serving never differentiates, so the
+forward-only economics differ and must be measured separately.
 """
 
 from __future__ import annotations
@@ -58,13 +65,15 @@ def main() -> None:
 
     enable_compilation_cache()
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
-    batches = [int(b) for b in sys.argv[2:]] or [16, 32, 64]
+    backend = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    batches = [int(b) for b in sys.argv[3:]] or [16, 32, 64]
 
     config = {
         "model": "UNet",
         "uncertainty_type": "quantiles",
         "q_lo": 0.05,
         "q_hi": 0.95,
+        "conv_backend": backend,
     }
     if dtype != "fp32":
         config["compute_dtype"] = dtype
@@ -74,7 +83,7 @@ def main() -> None:
         build_trunk(config), config, rng=jax.random.key(0), example_input=x0
     )
 
-    print(f"serving nested_sets, {dtype}, {IMAGE}x{IMAGE}x1")
+    print(f"serving nested_sets, {dtype}, conv_backend={backend}, {IMAGE}x{IMAGE}x1")
     for batch in batches:
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(batch, IMAGE, IMAGE, 1).astype(np.float32))

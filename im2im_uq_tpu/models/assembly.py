@@ -189,12 +189,14 @@ def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     dtype = resolve_dtype(params, dtype)
     cb = resolve_conv_backend(params)
     name = params.get("model", "UNet")
+    rb = params.get("resize_backend", "auto")
     if name == "UNet":
         return UNet(n_channels_out=1, dtype=dtype, remat=params.get("remat", False),
                     conv_backend=cb, lane_pack=resolve_lane_pack(params),
-                    pool_backend=params.get("pool_backend", "xla"))
+                    pool_backend=params.get("pool_backend", "xla"),
+                    resize_backend=rb)
     if name == "WNet":
-        return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb)
+        return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb, resize_backend=rb)
     if name == "ResNet18":
         from im2im_uq_tpu.models.resnet import ResNet18
 

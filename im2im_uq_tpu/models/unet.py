@@ -673,6 +673,10 @@ class Up(nn.Module):
     bilinear: bool = True
     dtype: Any = None
     conv_backend: str = "xla"
+    # "auto" picks the fused Pallas upsample on a single real TPU chip;
+    # "xla" keeps the program free of pallas_call (portable — required for
+    # cross-platform jax.export AOT artifacts, scripts/export_serving.py)
+    resize_backend: str = "auto"
     # lane-packed decoder level: x1 (decoder stream) is packed here at the
     # LOW resolution (cheap relayout), x2 (skip) must already arrive
     # packed; upsample/pad/DoubleConv all run packed. bilinear only.
@@ -687,7 +691,10 @@ class Up(nn.Module):
             x1 = pack2(x1)
         if self.bilinear:
             pf = 2 if self.packed else 1
-            x1 = checkpoint_name(upsample2x_align_corners(x1), "resize_out")
+            x1 = checkpoint_name(
+                upsample2x_align_corners(x1, backend=self.resize_backend),
+                "resize_out",
+            )
             mid = x1.shape[-1] // pf // 2 + x2.shape[-1] // pf // 2
         else:
             half = x1.shape[-1] // 2
@@ -771,6 +778,8 @@ class UNet(nn.Module):
     # output. Requires an even batch (odd batches silently fall back) and
     # the bilinear decoder. See ops/lane_pack.py for the measurements.
     lane_pack: bool = False
+    # decoder upsample backend (see Up.resize_backend): "auto" | "xla" | "pallas"
+    resize_backend: str = "auto"
 
     def packs(self, x: jax.Array) -> bool:
         """Whether this call runs lane-packed (even batch, bilinear)."""
@@ -816,10 +825,11 @@ class UNet(nn.Module):
         x4 = Dn(512, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down3")(x3, train)
         x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down4")(x4, train)
 
-        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up1")(x5, x4, train)
-        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up2")(x, x3, train)
-        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up3")(x, x2, train)
-        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, packed=packed, name="up4")(x, x1, train)
+        rb = self.resize_backend
+        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up1")(x5, x4, train)
+        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up2")(x, x3, train)
+        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up3")(x, x2, train)
+        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, packed=packed, name="up4")(x, x1, train)
         if packed:
             # out-conv on the packed features; the trunk output STAYS
             # packed — the uncertainty heads consume it packed and unpack
@@ -859,11 +869,13 @@ class WNet(nn.Module):
     dtype: Any = None
     n_channels_middle: int = 32
     conv_backend: str = "xla"
+    resize_backend: str = "auto"  # see Up.resize_backend
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         factor = 2 if self.bilinear else 1
         cb = self.conv_backend
+        rb = self.resize_backend
         p1, p2 = x[..., 0:1], x[..., 1:2]
 
         def encode(p: jax.Array, tag: str):
@@ -878,11 +890,11 @@ class WNet(nn.Module):
         b = encode(p2, "p2")
         cat = lambda i: jnp.concatenate([a[i], b[i]], axis=-1)
 
-        x = Up(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up1")(
+        x = Up(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up1")(
             cat(4), cat(3), train
         )
-        x = Up(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up2")(x, cat(2), train)
-        x = Up(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up3")(x, cat(1), train)
-        x = Up(64, self.bilinear, dtype=self.dtype, conv_backend=cb, name="up4")(x, cat(0), train)
+        x = Up(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up2")(x, cat(2), train)
+        x = Up(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up3")(x, cat(1), train)
+        x = Up(64, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up4")(x, cat(0), train)
         x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
         return x  # compute-dtype features; see UNet's return note

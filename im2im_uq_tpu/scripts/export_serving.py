@@ -1,0 +1,249 @@
+"""AOT serving-artifact export: checkpoint + λ̂ → one self-contained file.
+
+The reference ships models as whole-module torch pickles that need the
+full source tree to unpickle (reference: core/scripts/train.py:183-195);
+serving a calibrated model means carrying the repo. This CLI compiles the
+calibrated nested-sets program (trunk → head → λ̂-scaled interval algebra,
+reference: core/models/add_uncertainty.py:40-46) AHEAD OF TIME with
+``jax.export``: parameters, batch statistics, and the calibrated λ̂ are
+baked into one serialized StableHLO module with a stable versioned calling
+convention. The resulting ``.npz`` artifact
+
+  * needs NO model code to run — only jax (``load_serving_artifact``),
+  * is cross-platform: exported once (even on a CPU host), it executes on
+    any of the requested platforms (default ``cpu,tpu``) — build artifacts
+    on CI, serve them on the pod,
+  * is tamper-stable: λ̂ is part of the program, so the serving fleet
+    cannot accidentally run uncalibrated intervals.
+
+Usage:
+    python -m im2im_uq_tpu.scripts.export_serving \
+        --config experiments/synthetic_test/config.yml \
+        --checkpoint output/checkpoints/CP_epoch10_....msgpack \
+        --output model.uq.npz --height 320 --width 320 [--batch-size 32] \
+        [--lam 2.5] [--platforms cpu,tpu]
+
+Serve it with the infer CLI (no config/checkpoint needed):
+    python -m im2im_uq_tpu.scripts.infer --artifact model.uq.npz \
+        --input inputs.npy --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ARTIFACT_VERSION",
+    "ServingArtifact",
+    "export_serving_artifact",
+    "load_serving_artifact",
+    "main",
+]
+
+ARTIFACT_VERSION = 1
+
+
+def export_serving_artifact(
+    state,
+    path: str,
+    *,
+    batch_size: int = 32,
+    height: int,
+    width: int,
+    channels: Optional[int] = None,
+    lam: Optional[float] = None,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+) -> dict:
+    """Serialize ``state``'s calibrated nested-sets program to ``path``.
+
+    The exported function is ``x:(B,H,W,C) float32 → (lower, pred, upper)``
+    with params, batch stats, and λ baked in as module constants. Returns
+    the metadata dict that was stored alongside the module.
+    """
+    from jax import export as jax_export
+
+    if lam is None:
+        lam = state.lhat
+    if lam is None:
+        raise ValueError(
+            "model has no calibrated λ̂ — calibrate first or pass lam explicitly"
+        )
+    lam = float(lam)
+    if channels is None:
+        channels = int(state.params.get("num_inputs", 1))
+
+    # Re-assemble the model in its PORTABLE configuration: the Pallas
+    # kernels (resize/conv/pool) have no lowering for export platforms the
+    # host isn't running, so the exported program must be pure XLA. All
+    # backends share one parameter tree (parity-tested), so the trained
+    # variables drop straight in — only the traced program changes.
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+
+    portable_cfg = dict(
+        state.params,
+        conv_backend="xla",
+        pool_backend="xla",
+        resize_backend="xla",
+        lane_pack=False,
+    )
+    portable = add_uncertainty(build_trunk(portable_cfg), portable_cfg)
+    model, variables, utype = portable.model, state.variables, state.uncertainty_type
+    from im2im_uq_tpu.ops import sets as set_ops
+
+    def fn(x):
+        out = model.apply(variables, x, train=False)
+        return set_ops.nested_sets_from_output(out, jnp.float32(lam), utype)
+
+    spec = jax.ShapeDtypeStruct((batch_size, height, width, channels), jnp.float32)
+    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(spec)
+    blob = exported.serialize()
+
+    n_params = int(
+        sum(np.prod(p.shape) for p in jax.tree.leaves(variables.get("params", {})))
+    )
+    meta = {
+        "artifact_version": ARTIFACT_VERSION,
+        "batch_size": batch_size,
+        "height": height,
+        "width": width,
+        "channels": channels,
+        "lam": lam,
+        "uncertainty_type": utype,
+        "model": state.params.get("model", "UNet"),
+        "compute_dtype": state.params.get("compute_dtype", "float32"),
+        "platforms": list(exported.platforms),
+        "param_count": n_params,
+        "jax_version": jax.__version__,
+        # the artifact always traces the portable pure-XLA program (Pallas
+        # kernels can't lower for platforms the exporting host isn't on)
+        "program": "portable_xla",
+    }
+    path = os.path.expanduser(path)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    np.savez(
+        path,
+        stablehlo=np.frombuffer(blob, dtype=np.uint8),
+        meta=np.str_(json.dumps(meta)),
+    )
+    return meta
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingArtifact:
+    """A deserialized serving artifact: callable like a calibrated UQState.
+
+    Exposes the subset of the ``UQState`` surface that serving uses
+    (``nested_sets``, ``lhat``), so ``infer.predict_intervals`` drives it
+    unchanged. λ̂ is baked into the program: ``nested_sets(x, lam=o)`` for a
+    different λ is an error, not a silent recalibration.
+    """
+
+    meta: dict
+    _call: object  # jitted Exported.call
+
+    @property
+    def lhat(self) -> float:
+        return float(self.meta["lam"])
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.meta["batch_size"])
+
+    @property
+    def uncertainty_type(self) -> str:
+        return self.meta["uncertainty_type"]
+
+    def nested_sets(self, x, lam=None):
+        if lam is not None and abs(float(lam) - self.lhat) > 1e-9:
+            raise ValueError(
+                f"λ={lam} requested but λ̂={self.lhat} is baked into the "
+                "artifact — re-export to change it"
+            )
+        return self._call(jnp.asarray(x, jnp.float32))
+
+
+def load_serving_artifact(path: str) -> ServingArtifact:
+    """Load an artifact written by ``export_serving_artifact``.
+
+    Needs only jax — no model code, no checkpoint layout, no config.
+    """
+    from jax import export as jax_export
+
+    with np.load(os.path.expanduser(path)) as z:
+        blob = z["stablehlo"].tobytes()
+        meta = json.loads(str(z["meta"]))
+    if meta.get("artifact_version") != ARTIFACT_VERSION:
+        raise ValueError(
+            f"artifact version {meta.get('artifact_version')} != "
+            f"supported {ARTIFACT_VERSION}"
+        )
+    backend = jax.default_backend()
+    # jax maps the axon tunnel backend onto real TPU programs
+    plat = {"axon": "tpu"}.get(backend, backend)
+    if plat not in meta["platforms"]:
+        raise ValueError(
+            f"artifact was exported for platforms {meta['platforms']} but this "
+            f"host runs {plat!r} — re-export with --platforms {plat}"
+        )
+    exported = jax_export.deserialize(blob)
+    return ServingArtifact(meta=meta, _call=jax.jit(exported.call))
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    from im2im_uq_tpu.scripts.infer import load_uq_state_for_inference
+    from im2im_uq_tpu.utils.config import DEFAULTS, load_config
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--config", required=True, help="experiment config YAML")
+    ap.add_argument("--checkpoint", required=True, help="training checkpoint")
+    ap.add_argument("--output", required=True, help="artifact path (.npz)")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--height", type=int, required=True)
+    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument(
+        "--lam",
+        type=float,
+        default=None,
+        help="λ to bake in (default: the checkpoint's calibrated λ̂)",
+    )
+    ap.add_argument(
+        "--platforms",
+        default="cpu,tpu",
+        help="comma-separated jax export platforms (default cpu,tpu)",
+    )
+    ap.add_argument("--grid-index", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    config = dict(DEFAULTS)
+    config.update(load_config(args.config, grid_index=args.grid_index)[0])
+    state = load_uq_state_for_inference(config, os.path.expanduser(args.checkpoint))
+    lam = args.lam if args.lam is not None else state.lhat
+    if lam is None:
+        raise SystemExit(
+            "checkpoint has no calibrated λ̂ — pass --lam or calibrate first"
+        )
+    meta = export_serving_artifact(
+        state,
+        args.output,
+        batch_size=args.batch_size,
+        height=args.height,
+        width=args.width,
+        channels=int(config.get("num_inputs", 1)),
+        lam=lam,
+        platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+    )
+    size_mb = os.path.getsize(os.path.expanduser(args.output)) / 1e6
+    print(json.dumps({**meta, "artifact_mb": round(size_mb, 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

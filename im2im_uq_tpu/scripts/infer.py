@@ -106,28 +106,70 @@ def predict_intervals(
     inputs: np.ndarray,
     batch_size: int = 32,
     lam: Optional[float] = None,
+    mesh=None,
 ) -> dict[str, np.ndarray]:
     """Run calibrated nested-sets over (N,H,W,C) inputs at fixed batch shape.
 
     Returns {"lower", "prediction", "upper"} stacked to (N,H,W,C). The tail
     batch is zero-padded to keep one compiled program (eval mode: BatchNorm
     uses running stats, so padding never contaminates real outputs).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis), the batch
+    is sharded over the mesh and the forward runs data-parallel under GSPMD
+    — the pod-serving counterpart of calibration's mesh path
+    (calibration/rcps.py ``compute_risks_device``). Eval-mode BatchNorm uses
+    running statistics, so per-shard results are exactly the single-device
+    results. ``batch_size`` is rounded up to a mesh multiple.
     """
+    if mesh is not None:
+        from im2im_uq_tpu.parallel.mesh import (
+            batch_sharding,
+            fetch,
+            mesh_batch_size,
+            put_batch,
+            replicate_tree,
+        )
+
+        batch_size = mesh_batch_size(batch_size, mesh)
+        state = state.replace(variables=replicate_tree(mesh, state.variables))
+        sharding = batch_sharding(mesh)
+
     n = inputs.shape[0]
     if n == 0:
         empty = np.zeros(inputs.shape, np.float32)
         return {"lower": empty, "prediction": empty.copy(), "upper": empty.copy()}
     lowers, preds, uppers = [], [], []
+    multiproc = jax.process_count() > 1
+
+    def _drain(pending):
+        (lo, pred, hi), real = pending
+        if mesh is not None and multiproc:
+            lo, pred, hi = fetch((lo, pred, hi))
+        lowers.append(np.asarray(lo[:real]))
+        preds.append(np.asarray(pred[:real]))
+        uppers.append(np.asarray(hi[:real]))
+
+    # One-batch pipeline: JAX dispatch is async, so issuing batch k+1 before
+    # pulling batch k's outputs to host overlaps device compute with the
+    # device→host transfer (np.asarray blocks until the batch finishes).
+    pending = None
     for start in range(0, n, batch_size):
         chunk = inputs[start : start + batch_size]
         real = chunk.shape[0]
         if real < batch_size:
             pad = np.zeros((batch_size - real, *chunk.shape[1:]), chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
-        lo, pred, hi = state.nested_sets(jnp.asarray(chunk), lam=lam)
-        lowers.append(np.asarray(lo[:real]))
-        preds.append(np.asarray(pred[:real]))
-        uppers.append(np.asarray(hi[:real]))
+        if mesh is None:
+            xb = jnp.asarray(chunk)
+        elif multiproc:
+            (xb,) = put_batch(mesh, chunk)
+        else:
+            xb = jax.device_put(chunk, sharding)
+        out = state.nested_sets(xb, lam=lam)
+        if pending is not None:
+            _drain(pending)
+        pending = (out, real)
+    _drain(pending)
     return {
         "lower": np.concatenate(lowers, axis=0),
         "prediction": np.concatenate(preds, axis=0),
@@ -135,10 +177,58 @@ def predict_intervals(
     }
 
 
+def predict_intervals_spatial(
+    state: UQState,
+    inputs: np.ndarray,
+    mesh,
+    lam: Optional[float] = None,
+) -> dict[str, np.ndarray]:
+    """Calibrated nested-sets with each image's HEIGHT axis mesh-sharded.
+
+    The giant-tile serving path (parallel/spatial.py): for (N,H,W,C) inputs
+    whose activations exceed one chip's HBM, shard H across the mesh —
+    GSPMD inserts the conv/pool/resize halo exchanges, so outputs equal the
+    single-device forward bit-for-bit. Images run one at a time (batch has
+    nothing to split when one tile fills the mesh).
+    """
+    from im2im_uq_tpu.parallel.mesh import replicate_tree
+    from im2im_uq_tpu.parallel.spatial import spatial_nested_sets
+
+    state = state.replace(variables=replicate_tree(mesh, state.variables))
+    fn = spatial_nested_sets(state, mesh, lam=lam)
+    lowers, preds, uppers = [], [], []
+    pending = None
+
+    def _drain(out):
+        lo, pred, hi = out
+        lowers.append(np.asarray(lo))
+        preds.append(np.asarray(pred))
+        uppers.append(np.asarray(hi))
+
+    for i in range(inputs.shape[0]):
+        out = fn(jnp.asarray(inputs[i : i + 1]))
+        if pending is not None:
+            _drain(pending)
+        pending = out
+    if pending is not None:
+        _drain(pending)
+    empty = np.zeros(inputs.shape, np.float32)
+    return {
+        "lower": np.concatenate(lowers, axis=0) if lowers else empty,
+        "prediction": np.concatenate(preds, axis=0) if preds else empty.copy(),
+        "upper": np.concatenate(uppers, axis=0) if uppers else empty.copy(),
+    }
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--config", required=True, help="experiment config YAML")
-    ap.add_argument("--checkpoint", required=True, help="training checkpoint (.msgpack)")
+    ap.add_argument("--config", help="experiment config YAML")
+    ap.add_argument("--checkpoint", help="training checkpoint (.msgpack)")
+    ap.add_argument(
+        "--artifact",
+        help="AOT serving artifact (scripts.export_serving) — replaces "
+        "--config/--checkpoint; λ̂ and batch shape are baked in",
+    )
     ap.add_argument("--input", required=True, help=".npy/.npz file or directory")
     ap.add_argument("--output", required=True, help="output directory for .npz results")
     ap.add_argument("--batch-size", type=int, default=32)
@@ -154,12 +244,61 @@ def main(argv: Optional[list[str]] = None) -> int:
         default=0,
         help="which grid point of a sweep config describes the checkpointed model",
     )
+    ap.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard batches over all visible devices (jax.sharding.Mesh); "
+        "single-device runs are unaffected",
+    )
+    ap.add_argument(
+        "--spatial",
+        action="store_true",
+        help="shard each image's HEIGHT axis over the mesh instead of the "
+        "batch axis (giant tiles that exceed one chip's HBM; images run "
+        "one at a time, GSPMD inserts the conv halo exchanges)",
+    )
     args = ap.parse_args(argv)
 
-    config = dict(DEFAULTS)
-    config.update(load_config(args.config, grid_index=args.grid_index)[0])
-    state = load_uq_state_for_inference(config, os.path.expanduser(args.checkpoint))
-    lam = args.lam if args.lam is not None else state.lhat
+    if bool(args.artifact) == bool(args.config or args.checkpoint):
+        raise SystemExit("pass either --artifact OR --config + --checkpoint")
+    if args.data_parallel and args.spatial:
+        raise SystemExit("--data-parallel and --spatial are mutually exclusive")
+
+    mesh = None
+    if (args.data_parallel or args.spatial) and jax.device_count() > 1:
+        if args.artifact:
+            raise SystemExit(
+                "--data-parallel/--spatial are not supported with --artifact: "
+                "the AOT module is compiled for one device — serve per-chip "
+                "processes or use --config/--checkpoint serving for mesh "
+                "sharding"
+            )
+        from im2im_uq_tpu.parallel.mesh import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+
+    if args.artifact:
+        from im2im_uq_tpu.scripts.export_serving import load_serving_artifact
+
+        state = load_serving_artifact(args.artifact)
+        if args.lam is not None and abs(args.lam - state.lhat) > 1e-9:
+            raise SystemExit(
+                f"--lam {args.lam} conflicts with the artifact's baked "
+                f"λ̂={state.lhat} — re-export to change λ"
+            )
+        lam = state.lhat
+        args.batch_size = state.batch_size  # the program's fixed batch shape
+        utype = state.uncertainty_type
+    else:
+        if not (args.config and args.checkpoint):
+            raise SystemExit("--config and --checkpoint are both required")
+        config = dict(DEFAULTS)
+        config.update(load_config(args.config, grid_index=args.grid_index)[0])
+        state = load_uq_state_for_inference(
+            config, os.path.expanduser(args.checkpoint)
+        )
+        lam = args.lam if args.lam is not None else state.lhat
+        utype = config["uncertainty_type"]
     if lam is None:
         raise SystemExit(
             "checkpoint has no calibrated λ̂ — pass --lam or calibrate first"
@@ -169,7 +308,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     total, t0 = 0, time.perf_counter()
     for name, arr in _iter_input_arrays(args.input):
-        result = predict_intervals(state, arr, args.batch_size, lam=lam)
+        if args.spatial and mesh is not None:
+            result = predict_intervals_spatial(state, arr, mesh, lam=lam)
+        else:
+            result = predict_intervals(
+                state, arr, args.batch_size, lam=lam, mesh=mesh
+            )
         out = out_dir / f"{name}_intervals.npz"
         np.savez(out, lam=np.float64(lam), **result)
         total += arr.shape[0]
@@ -180,7 +324,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         "seconds": round(dt, 3),
         "imgs_per_sec": round(total / dt, 2) if dt > 0 else math.inf,
         "lam": lam,
-        "uncertainty_type": config["uncertainty_type"],
+        "uncertainty_type": utype,
     }
     with open(out_dir / "inference_summary.json", "w") as fh:
         json.dump(summary, fh)

@@ -162,3 +162,67 @@ def test_predict_intervals_empty_input(ckpt_and_config):
     state = infer.load_uq_state_for_inference(dict(CFG), str(path))
     out = infer.predict_intervals(state, np.zeros((0, 32, 32, 1), np.float32))
     assert out["prediction"].shape == (0, 32, 32, 1)
+
+
+def test_predict_intervals_spatial_matches_single_device(ckpt_and_config, tmp_path):
+    """Giant-tile serving: HEIGHT-sharded forward equals the single-device
+    one (GSPMD halo exchanges are exact), through both the library call and
+    the CLI's --spatial flag."""
+    from im2im_uq_tpu.parallel.mesh import data_parallel_mesh
+
+    root, path, cfg_yaml, _ = ckpt_and_config
+    state = infer.load_uq_state_for_inference(dict(CFG), str(path))
+    x = np.random.RandomState(3).randn(3, 32, 32, 1).astype(np.float32)
+    ref = infer.predict_intervals(state, x, batch_size=4)
+    out = infer.predict_intervals_spatial(state, x, data_parallel_mesh())
+    for key in ("lower", "prediction", "upper"):
+        assert out[key].shape == (3, 32, 32, 1)
+        np.testing.assert_allclose(out[key], ref[key], rtol=1e-5, atol=1e-6)
+
+    np.save(tmp_path / "tiles.npy", x)
+    rc = infer.main(
+        [
+            "--config", str(cfg_yaml),
+            "--checkpoint", str(path),
+            "--input", str(tmp_path / "tiles.npy"),
+            "--output", str(tmp_path / "out_spatial"),
+            "--spatial",
+        ]
+    )
+    assert rc == 0
+    with np.load(tmp_path / "out_spatial" / "tiles_intervals.npz") as z:
+        np.testing.assert_allclose(
+            z["prediction"], ref["prediction"], rtol=1e-5, atol=1e-6
+        )
+    # mutual exclusion guard
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        infer.main(
+            [
+                "--config", str(cfg_yaml),
+                "--checkpoint", str(path),
+                "--input", str(tmp_path / "tiles.npy"),
+                "--output", str(tmp_path / "out_x"),
+                "--spatial", "--data-parallel",
+            ]
+        )
+
+
+def test_predict_intervals_mesh_matches_single_device(ckpt_and_config):
+    """Data-parallel serving (mesh path) reproduces the single-device outputs.
+
+    Eval-mode BatchNorm uses running stats, so sharding the batch over the
+    8-device mesh must be bit-compatible with running it on one device.
+    Ragged tail (10 = 8 + 2) exercises mesh rounding + zero padding: the
+    requested batch_size 4 is rounded up to the mesh's 8.
+    """
+    from im2im_uq_tpu.parallel.mesh import data_parallel_mesh
+
+    _, path, _, _ = ckpt_and_config
+    state = infer.load_uq_state_for_inference(dict(CFG), str(path))
+    x = np.random.RandomState(2).randn(10, 32, 32, 1).astype(np.float32)
+    ref = infer.predict_intervals(state, x, batch_size=4)
+    mesh = data_parallel_mesh()
+    out = infer.predict_intervals(state, x, batch_size=4, mesh=mesh)
+    for key in ("lower", "prediction", "upper"):
+        assert out[key].shape == (10, 32, 32, 1)
+        np.testing.assert_allclose(out[key], ref[key], rtol=1e-5, atol=1e-6)
