@@ -14,7 +14,10 @@ convention. The resulting ``.npz`` artifact
     any of the requested platforms (default ``cpu,tpu``) — build artifacts
     on CI, serve them on the pod,
   * is tamper-stable: λ̂ is part of the program, so the serving fleet
-    cannot accidentally run uncalibrated intervals.
+    cannot accidentally run uncalibrated intervals,
+  * can be exported DATA-PARALLEL (``--n-devices N``): the batch axis is
+    GSPMD-sharded over an abstract N-device mesh baked into the module —
+    build the pod artifact on any host, bind it to real devices at load.
 
 Usage:
     python -m im2im_uq_tpu.scripts.export_serving \
@@ -61,12 +64,22 @@ def export_serving_artifact(
     channels: Optional[int] = None,
     lam: Optional[float] = None,
     platforms: tuple[str, ...] = ("cpu", "tpu"),
+    n_devices: int = 1,
 ) -> dict:
     """Serialize ``state``'s calibrated nested-sets program to ``path``.
 
     The exported function is ``x:(B,H,W,C) float32 → (lower, pred, upper)``
     with params, batch stats, and λ baked in as module constants. Returns
     the metadata dict that was stored alongside the module.
+
+    With ``n_devices > 1`` the program is exported DATA-PARALLEL: the batch
+    axis is sharded over an ``n_devices``-wide mesh (GSPMD; eval-mode
+    BatchNorm uses running stats, so shard outputs equal the single-device
+    forward). The mesh is ABSTRACT at export time — a pod artifact can be
+    built on any host, including a single-chip or CPU-only one — and binds
+    to the real devices at load. ``batch_size`` must divide by
+    ``n_devices``; serving hosts must run exactly ``n_devices`` devices
+    (jax.export pins the device count into the module).
     """
     from jax import export as jax_export
 
@@ -102,8 +115,28 @@ def export_serving_artifact(
         out = model.apply(variables, x, train=False)
         return set_ops.nested_sets_from_output(out, jnp.float32(lam), utype)
 
-    spec = jax.ShapeDtypeStruct((batch_size, height, width, channels), jnp.float32)
-    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(spec)
+    if n_devices < 1:
+        raise ValueError(f"n_devices must be >= 1, got {n_devices}")
+    if n_devices > 1:
+        if batch_size % n_devices:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by n_devices {n_devices}"
+            )
+        from jax.sharding import AbstractMesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        amesh = AbstractMesh((n_devices,), ("data",))
+        shard = NamedSharding(amesh, P("data"))
+        jf = jax.jit(fn, in_shardings=shard, out_shardings=(shard, shard, shard))
+        spec = jax.ShapeDtypeStruct(
+            (batch_size, height, width, channels), jnp.float32, sharding=shard
+        )
+    else:
+        jf = jax.jit(fn)
+        spec = jax.ShapeDtypeStruct(
+            (batch_size, height, width, channels), jnp.float32
+        )
+    exported = jax_export.export(jf, platforms=list(platforms))(spec)
     blob = exported.serialize()
 
     n_params = int(
@@ -120,6 +153,7 @@ def export_serving_artifact(
         "model": state.params.get("model", "UNet"),
         "compute_dtype": state.params.get("compute_dtype", "float32"),
         "platforms": list(exported.platforms),
+        "n_devices": n_devices,
         "param_count": n_params,
         "jax_version": jax.__version__,
         # the artifact always traces the portable pure-XLA program (Pallas
@@ -148,6 +182,7 @@ class ServingArtifact:
 
     meta: dict
     _call: object  # jitted Exported.call
+    _sharding: object = None  # NamedSharding binding a >1-device artifact
 
     @property
     def lhat(self) -> float:
@@ -167,7 +202,14 @@ class ServingArtifact:
                 f"λ={lam} requested but λ̂={self.lhat} is baked into the "
                 "artifact — re-export to change it"
             )
-        return self._call(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x, jnp.float32)
+        if self._sharding is not None:
+            # jax.export pins the device count into the module: a
+            # data-parallel artifact must be fed batch-sharded inputs on a
+            # mesh of exactly meta["n_devices"] devices (probe-verified: an
+            # unsharded call raises "exported for N devices").
+            x = jax.device_put(x, self._sharding)
+        return self._call(x)
 
 
 def load_serving_artifact(path: str) -> ServingArtifact:
@@ -194,7 +236,24 @@ def load_serving_artifact(path: str) -> ServingArtifact:
             f"host runs {plat!r} — re-export with --platforms {plat}"
         )
     exported = jax_export.deserialize(blob)
-    return ServingArtifact(meta=meta, _call=jax.jit(exported.call))
+    n_dev = int(meta.get("n_devices", 1))
+    sharding = None
+    if n_dev > 1:
+        devices = jax.devices()
+        if len(devices) < n_dev:
+            raise ValueError(
+                f"artifact is data-parallel over {n_dev} devices but this "
+                f"host runs {len(devices)} — re-export with --n-devices "
+                f"{len(devices)} or serve on a {n_dev}-device host"
+            )
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices[:n_dev]), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+    return ServingArtifact(
+        meta=meta, _call=jax.jit(exported.call), _sharding=sharding
+    )
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -219,6 +278,13 @@ def main(argv: Optional[list[str]] = None) -> int:
         default="cpu,tpu",
         help="comma-separated jax export platforms (default cpu,tpu)",
     )
+    ap.add_argument(
+        "--n-devices",
+        type=int,
+        default=1,
+        help="export the program data-parallel over this many devices "
+        "(abstract mesh: the pod artifact can be built on any host)",
+    )
     ap.add_argument("--grid-index", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -239,6 +305,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         channels=int(config.get("num_inputs", 1)),
         lam=lam,
         platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+        n_devices=args.n_devices,
     )
     size_mb = os.path.getsize(os.path.expanduser(args.output)) / 1e6
     print(json.dumps({**meta, "artifact_mb": round(size_mb, 2)}))

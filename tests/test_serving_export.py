@@ -171,6 +171,50 @@ def test_cli_export_then_infer_artifact(artifact_env, tmp_path):
     assert summary["uncertainty_type"] == "quantiles" and summary["images"] == 5
 
 
+def test_data_parallel_artifact(artifact_env, tmp_path):
+    """n_devices=4 export binds to a concrete 4-device mesh at load and
+    reproduces the single-device program exactly (eval-mode BN → shard
+    outputs are independent of the sharding)."""
+    _, _, _, state, _, _ = artifact_env
+    art = tmp_path / "dp4.uq.npz"
+    meta = export_serving.export_serving_artifact(
+        state, str(art), batch_size=4, height=32, width=32, lam=LHAT,
+        platforms=("cpu",), n_devices=4,
+    )
+    assert meta["n_devices"] == 4
+    loaded = export_serving.load_serving_artifact(str(art))
+    x = np.random.RandomState(3).randn(4, 32, 32, 1).astype(np.float32)
+    got = loaded.nested_sets(x)
+    ref = state.nested_sets(jnp.asarray(x), lam=LHAT)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-7)
+    # drop-in through the batching/padding serving driver too
+    got = infer.predict_intervals(loaded, x[:3], batch_size=4)
+    for key, r in zip(("lower", "prediction", "upper"), ref):
+        np.testing.assert_allclose(
+            got[key], np.asarray(r)[:3], rtol=1e-6, atol=1e-7
+        )
+
+
+def test_data_parallel_export_validation(artifact_env, tmp_path):
+    _, _, _, state, _, _ = artifact_env
+    # batch must divide by n_devices
+    with pytest.raises(ValueError, match="divide"):
+        export_serving.export_serving_artifact(
+            state, str(tmp_path / "bad.npz"), batch_size=4, height=32,
+            width=32, lam=LHAT, n_devices=3,
+        )
+    # a pod-sized artifact exports fine anywhere (abstract mesh) but
+    # refuses to LOAD on a host with fewer devices
+    art = tmp_path / "dp16.uq.npz"
+    export_serving.export_serving_artifact(
+        state, str(art), batch_size=16, height=32, width=32, lam=LHAT,
+        platforms=("cpu",), n_devices=16,
+    )
+    with pytest.raises(ValueError, match="data-parallel over 16"):
+        export_serving.load_serving_artifact(str(art))
+
+
 def test_cli_argument_validation(artifact_env, tmp_path):
     root, ckpt, cfg_yaml, _, art, _ = artifact_env
     x = np.zeros((1, 32, 32, 1), np.float32)
