@@ -7,7 +7,8 @@ gates. Device-busy ms from a profiler trace is the only load-independent
 metric on the tunneled chip (STATUS.md).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_backend_matrix.py [fp32|bfloat16] [batch] [combo ...]
-  combo: backend:lane_pack pairs, e.g. xla:1 pallas_fused:0 (default: full matrix)
+  combo: backend:lane_pack[:bn_backend], e.g. xla:1 xla:1:dot pallas_fused:0
+  (default: conv matrix at bn=flax plus the dot/barrier BN variants)
 """
 
 from __future__ import annotations
@@ -18,7 +19,8 @@ import tempfile
 import numpy as np
 
 
-def measure(dtype: str, batch: int, backend: str, lane_pack: bool):
+def measure(dtype: str, batch: int, backend: str, lane_pack: bool,
+            bn_backend: str = "flax"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -32,7 +34,7 @@ def measure(dtype: str, batch: int, backend: str, lane_pack: bool):
         "model": "UNet", "uncertainty_type": "quantiles",
         "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
         "mse_weight": 1.0, "compute_dtype": dtype, "conv_backend": backend,
-        "lane_pack": lane_pack,
+        "lane_pack": lane_pack, "bn_backend": bn_backend,
     }
     x0 = jnp.zeros((1, 320, 320, 1), jnp.float32)
     st = add_uncertainty(
@@ -73,26 +75,30 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     combos = []
     for a in sys.argv[3:]:
-        b, lp = a.split(":")
-        combos.append((b, bool(int(lp))))
+        parts = a.split(":")
+        combos.append(
+            (parts[0], bool(int(parts[1])), parts[2] if len(parts) > 2 else "flax")
+        )
     if not combos:
         combos = [
-            ("xla", True),           # current flagship (auto)
-            ("pallas_fused", True),  # packed region fused + deep levels fused
-            ("pallas_fused", False), # all levels fused, no packing
-            ("pallas", True),
-            ("xla", False),
+            ("xla", True, "flax"),    # current flagship (auto)
+            ("xla", True, "dot"),     # MXU-dot BN reductions (ops/batchnorm.py)
+            ("xla", True, "barrier"), # barrier-isolated BN reduce kernels
+            ("pallas_fused", True, "flax"),
+            ("pallas_fused", False, "flax"),
+            ("pallas", True, "flax"),
+            ("xla", False, "flax"),
         ]
     print(f"dtype={dtype} batch={batch} (device-busy ms/step, 3-step trace)")
-    for backend, lp in combos:
-        tag = f"{backend}:lane_pack={int(lp)}"
+    for backend, lp, bn in combos:
+        tag = f"{backend}:lane_pack={int(lp)}:bn={bn}"
         try:
-            ms = measure(dtype, batch, backend, lp)
+            ms = measure(dtype, batch, backend, lp, bn)
         except Exception as e:  # e.g. a Mosaic rejection at one level
-            print(f"{tag:<28} ERROR {type(e).__name__}: {str(e)[:200]}",
+            print(f"{tag:<34} ERROR {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
             continue
-        print(f"{tag:<28} {ms if ms is None else round(ms, 1)}", flush=True)
+        print(f"{tag:<34} {ms if ms is None else round(ms, 1)}", flush=True)
 
 
 if __name__ == "__main__":

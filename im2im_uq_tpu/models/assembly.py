@@ -184,19 +184,38 @@ def resolve_lane_pack(params: dict) -> bool:
     return bool(v)
 
 
+def resolve_bn_backend(params: dict) -> str:
+    """``bn_backend`` ∈ {auto, flax, dot, barrier} → concrete backend.
+
+    'auto' currently resolves to 'flax' (TorchBatchNorm / PackedBN).
+    'dot'/'barrier' route the BN channel reductions through
+    ops/batchnorm.py so they cannot serialize the elementwise fusions
+    (roofline rationale in that module's docstring); parity-tested,
+    checkpoint-compatible trees.
+    """
+    backend = params.get("bn_backend", "auto")
+    if backend == "auto":
+        return "flax"
+    if backend not in ("flax", "dot", "barrier"):
+        raise ValueError(f"unknown bn_backend {backend!r}")
+    return backend
+
+
 def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     """Trunk factory for the router's model dispatch (reference router.py:80-84)."""
     dtype = resolve_dtype(params, dtype)
     cb = resolve_conv_backend(params)
+    bb = resolve_bn_backend(params)
     name = params.get("model", "UNet")
     rb = params.get("resize_backend", "auto")
     if name == "UNet":
         return UNet(n_channels_out=1, dtype=dtype, remat=params.get("remat", False),
                     conv_backend=cb, lane_pack=resolve_lane_pack(params),
                     pool_backend=params.get("pool_backend", "xla"),
-                    resize_backend=rb)
+                    resize_backend=rb, bn_backend=bb)
     if name == "WNet":
-        return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb, resize_backend=rb)
+        return WNet(n_channels_out=1, dtype=dtype, conv_backend=cb, resize_backend=rb,
+                    bn_backend=bb)
     if name == "ResNet18":
         from im2im_uq_tpu.models.resnet import ResNet18
 

@@ -386,6 +386,36 @@ class DoubleConv(nn.Module):
     # lane-packed input (B/2, H, W, 2C): block-diagonal XLA convs +
     # PackedBN; takes precedence over conv_backend (see ops/lane_pack.py)
     packed: bool = False
+    # "flax" (TorchBatchNorm/PackedBN: XLA fuses the stats reduces into the
+    # elementwise passes) | "dot" | "barrier" (ops/batchnorm.py: reductions
+    # as MXU dots / barrier-isolated reduce kernels — see that module's
+    # roofline rationale). Parameter/batch-stats trees are identical.
+    bn_backend: str = "flax"
+
+    def _bn(self, i: int, x, train: bool, groups: int = 1):
+        if self.bn_backend != "flax":
+            from im2im_uq_tpu.ops.batchnorm import DotBatchNorm
+
+            return DotBatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                method=self.bn_backend,
+                groups=groups,
+                name=f"bn{i}",
+            )(x)
+        if groups > 1:
+            return PackedBN(
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=f"bn{i}"
+            )(x, train)
+        return TorchBatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=f"bn{i}",
+        )(x)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jax.Array:
@@ -434,13 +464,7 @@ class DoubleConv(nn.Module):
             x = conv3x3(mid, x.shape[-1], dtype=self.dtype, name="conv0")(x)
 
         def bn(i, x):
-            return TorchBatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name=f"bn{i}",
-            )(x)
+            return self._bn(i, x, train)
 
         # checkpoint_name tags are identity ops outside jax.checkpoint; under
         # UNet.remat they let the policy pick which tensors survive to the
@@ -489,21 +513,13 @@ class DoubleConv(nn.Module):
             )
             x = conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias)
         x = checkpoint_name(x, "conv_out")
-        x = checkpoint_name(
-            nn.relu(
-                PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn0")(x, train)
-            ),
-            "bn_relu_out",
-        )
+        x = checkpoint_name(nn.relu(self._bn(0, x, train, groups=2)), "bn_relu_out")
         kernel, bias = Conv3x3Params(mid, self.features, name="conv1")()
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
         x = conv3x3_apply(x, blockdiag2(kernel)) + tile2(bias)
         x = checkpoint_name(x, "conv_out")
         return checkpoint_name(
-            nn.relu(
-                PackedBN(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1")(x, train)
-            ),
-            "bn_relu_out",
+            nn.relu(self._bn(1, x, train, groups=2)), "bn_relu_out"
         )
 
     def _packed_fused(self, x, mid: int, train: bool) -> jax.Array:
@@ -649,6 +665,7 @@ class Down(nn.Module):
     dtype: Any = None
     conv_backend: str = "xla"
     pool_backend: str = "xla"
+    bn_backend: str = "flax"  # see DoubleConv.bn_backend
     # input arrives lane-packed: pool it packed (halves the pool's HBM
     # traffic at full res), then unpack at the 4×-smaller pooled size
     packed_input: bool = False
@@ -662,7 +679,7 @@ class Down(nn.Module):
             x = unpack2(x)
         return DoubleConv(
             self.features, dtype=self.dtype, conv_backend=self.conv_backend,
-            name="conv",
+            bn_backend=self.bn_backend, name="conv",
         )(x, train)
 
 
@@ -677,6 +694,7 @@ class Up(nn.Module):
     # "xla" keeps the program free of pallas_call (portable — required for
     # cross-platform jax.export AOT artifacts, scripts/export_serving.py)
     resize_backend: str = "auto"
+    bn_backend: str = "flax"  # see DoubleConv.bn_backend
     # lane-packed decoder level: x1 (decoder stream) is packed here at the
     # LOW resolution (cheap relayout), x2 (skip) must already arrive
     # packed; upsample/pad/DoubleConv all run packed. bilinear only.
@@ -720,7 +738,8 @@ class Up(nn.Module):
         # conv-over-concat without materializing the concatenated tensor
         return DoubleConv(
             self.features, mid_features=mid, dtype=self.dtype,
-            conv_backend=self.conv_backend, packed=self.packed, name="conv",
+            conv_backend=self.conv_backend, bn_backend=self.bn_backend,
+            packed=self.packed, name="conv",
         )((x2, x1), train)
 
 
@@ -780,6 +799,8 @@ class UNet(nn.Module):
     lane_pack: bool = False
     # decoder upsample backend (see Up.resize_backend): "auto" | "xla" | "pallas"
     resize_backend: str = "auto"
+    # "flax" | "dot" | "barrier" — see DoubleConv.bn_backend / ops/batchnorm.py
+    bn_backend: str = "flax"
 
     def packs(self, x: jax.Array) -> bool:
         """Whether this call runs lane-packed (even batch, bilinear)."""
@@ -814,22 +835,23 @@ class UNet(nn.Module):
             DC, Dn, UpB = DoubleConv, Down, Up
         cb = self.conv_backend
         pb = self.pool_backend
+        bb = self.bn_backend
         packed = self.packs(x)
         if packed:
             from im2im_uq_tpu.ops.lane_pack import blockdiag2, pack2, tile2
 
             x = pack2(x)
-        x1 = DC(64, dtype=self.dtype, conv_backend=cb, packed=packed, name="inc")(x, train)
-        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, pool_backend=pb, packed_input=packed, name="down1")(x1, train)
-        x3 = Dn(256, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down2")(x2, train)
-        x4 = Dn(512, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down3")(x3, train)
-        x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, pool_backend=pb, name="down4")(x4, train)
+        x1 = DC(64, dtype=self.dtype, conv_backend=cb, bn_backend=bb, packed=packed, name="inc")(x, train)
+        x2 = Dn(128, dtype=self.dtype, conv_backend=cb, pool_backend=pb, bn_backend=bb, packed_input=packed, name="down1")(x1, train)
+        x3 = Dn(256, dtype=self.dtype, conv_backend=cb, pool_backend=pb, bn_backend=bb, name="down2")(x2, train)
+        x4 = Dn(512, dtype=self.dtype, conv_backend=cb, pool_backend=pb, bn_backend=bb, name="down3")(x3, train)
+        x5 = Dn(1024 // factor, dtype=self.dtype, conv_backend=cb, pool_backend=pb, bn_backend=bb, name="down4")(x4, train)
 
         rb = self.resize_backend
-        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up1")(x5, x4, train)
-        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up2")(x, x3, train)
-        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up3")(x, x2, train)
-        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, packed=packed, name="up4")(x, x1, train)
+        x = UpB(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up1")(x5, x4, train)
+        x = UpB(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up2")(x, x3, train)
+        x = UpB(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up3")(x, x2, train)
+        x = UpB(64, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, packed=packed, name="up4")(x, x1, train)
         if packed:
             # out-conv on the packed features; the trunk output STAYS
             # packed — the uncertainty heads consume it packed and unpack
@@ -870,31 +892,33 @@ class WNet(nn.Module):
     n_channels_middle: int = 32
     conv_backend: str = "xla"
     resize_backend: str = "auto"  # see Up.resize_backend
+    bn_backend: str = "flax"  # see DoubleConv.bn_backend
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         factor = 2 if self.bilinear else 1
         cb = self.conv_backend
         rb = self.resize_backend
+        bb = self.bn_backend
         p1, p2 = x[..., 0:1], x[..., 1:2]
 
         def encode(p: jax.Array, tag: str):
-            e1 = DoubleConv(32, dtype=self.dtype, conv_backend=cb, name=f"{tag}inc")(p, train)
-            e2 = Down(64, dtype=self.dtype, conv_backend=cb, name=f"{tag}down1")(e1, train)
-            e3 = Down(128, dtype=self.dtype, conv_backend=cb, name=f"{tag}down2")(e2, train)
-            e4 = Down(256, dtype=self.dtype, conv_backend=cb, name=f"{tag}down3")(e3, train)
-            e5 = Down(512 // factor, dtype=self.dtype, conv_backend=cb, name=f"{tag}down4")(e4, train)
+            e1 = DoubleConv(32, dtype=self.dtype, conv_backend=cb, bn_backend=bb, name=f"{tag}inc")(p, train)
+            e2 = Down(64, dtype=self.dtype, conv_backend=cb, bn_backend=bb, name=f"{tag}down1")(e1, train)
+            e3 = Down(128, dtype=self.dtype, conv_backend=cb, bn_backend=bb, name=f"{tag}down2")(e2, train)
+            e4 = Down(256, dtype=self.dtype, conv_backend=cb, bn_backend=bb, name=f"{tag}down3")(e3, train)
+            e5 = Down(512 // factor, dtype=self.dtype, conv_backend=cb, bn_backend=bb, name=f"{tag}down4")(e4, train)
             return e1, e2, e3, e4, e5
 
         a = encode(p1, "p1")
         b = encode(p2, "p2")
         cat = lambda i: jnp.concatenate([a[i], b[i]], axis=-1)
 
-        x = Up(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up1")(
+        x = Up(512 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up1")(
             cat(4), cat(3), train
         )
-        x = Up(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up2")(x, cat(2), train)
-        x = Up(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up3")(x, cat(1), train)
-        x = Up(64, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, name="up4")(x, cat(0), train)
+        x = Up(256 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up2")(x, cat(2), train)
+        x = Up(128 // factor, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up3")(x, cat(1), train)
+        x = Up(64, self.bilinear, dtype=self.dtype, conv_backend=cb, resize_backend=rb, bn_backend=bb, name="up4")(x, cat(0), train)
         x = conv1x1(self.n_channels_middle, x.shape[-1], dtype=self.dtype, name="out")(x)
         return x  # compute-dtype features; see UNet's return note
