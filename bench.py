@@ -4,9 +4,18 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Primary metric: training images/sec/chip at FastMRI geometry (320x320x1,
-the reference's headline workload — BASELINE.md north stars). Also measures
-RCPS calibration wall-clock for the <60 s north-star target and reports it
-in the extras.
+the reference's headline workload — BASELINE.md north stars). Extras cover
+the in-graph-loop wall cross-check, serving throughput, RCPS calibration
+wall-clock (<60 s north-star), and the end-to-end epoch duty cycle.
+
+ARCHITECTURE (round-4 hardening, VERDICT r3 #3): every measurement leg runs
+in its OWN subprocess. Round 3 lost its headline because one optional probe
+wedged the backend in-process and took every later dispatch down with it
+(rc=1, no JSON). Here the parent never imports jax: a dead/hung leg ends at
+the child (killed on timeout), the parent still assembles the headline from
+whichever legs survived, and per-leg errors are reported in the extras
+instead of silently as None. The TPU tunnel serializes clients, so legs run
+sequentially; the persistent compile cache keeps repeat compiles cheap.
 
 vs_baseline compares against BENCH_BASELINE.json (a measured reference-
 implementation number on available hardware) when present, else 1.0.
@@ -14,18 +23,16 @@ implementation number on available hardware) when present, else 1.0.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from im2im_uq_tpu.utils.cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BATCH = 32
 IMAGE = 320
@@ -33,11 +40,79 @@ TRAIN_STEPS = 20
 CALIB_N = 128
 NUM_LAMBDAS = 1000
 
+CONFIG = {
+    "model": "UNet",
+    "uncertainty_type": "quantiles",
+    "q_lo": 0.05,
+    "q_hi": 0.95,
+    "q_lo_weight": 1.0,
+    "q_hi_weight": 1.0,
+    "mse_weight": 1.0,
+    "alpha": 0.1,
+    "delta": 0.1,
+    "num_lambdas": NUM_LAMBDAS,
+    "minimum_lambda": 0.0,
+    "maximum_lambda": 6.0,
+    "rcps_loss": "fraction_missed",
+    "batch_size": 64,
+    "dataset": "synthetic",
+}
+
+# ---------------------------------------------------------------------------
+# shared leg plumbing (everything below the parent runs inside a child)
+# ---------------------------------------------------------------------------
+
+
+def _jax_setup():
+    from im2im_uq_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    return jax
+
+
+def _build(config):
+    """Model + train state + jitted step for ``config``; shared leg boilerplate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.parallel.mesh import data_parallel_mesh, replicate_tree
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    mesh = data_parallel_mesh()
+    x0 = jnp.zeros((1, IMAGE, IMAGE, 1), jnp.float32)
+    state = add_uncertainty(
+        build_trunk(config), config, rng=jax.random.key(0), example_input=x0
+    )
+    tx = optax.adam(1e-3)
+    ts = TrainState(
+        params=state.variables["params"],
+        batch_stats=state.variables["batch_stats"],
+        opt_state=tx.init(state.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    ts = replicate_tree(mesh, ts)
+    step = make_train_step(
+        state.model, head_loss_pe_fn("quantiles"), config, tx, mesh
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(BATCH, IMAGE, IMAGE, 1).astype(np.float32)
+    y = rng.randn(BATCH, IMAGE, IMAGE, 1).astype(np.float32)
+    mask = np.ones((BATCH,), np.float32)
+    return mesh, state, ts, tx, step, x, y, mask
+
 
 def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
-    """On-chip busy ms per train step from a short profiler trace."""
-    import tempfile
+    """(busy_ms | None, error | None) from a short profiler trace.
 
+    Distinguishes "profiler unavailable" (returns the error string) from a
+    healthy run — a dead backend surfaces as an error, never as a silent
+    None (VERDICT r3 #3)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,76 +128,21 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
                     ts, loss = step(ts, x, y, mask)
                 jax.block_until_ready(loss)
             breakdown = device_busy_breakdown(td, steps=steps)
-        return breakdown["total_ms"] if breakdown else None
-    except Exception:
-        return None  # profiling is best-effort (not supported on all backends)
+        if not breakdown:
+            return None, "profiler trace produced no device lanes"
+        return breakdown["total_ms"], None
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    import optax
+def leg_train() -> dict:
+    """fp32 + bf16 per-step device-busy, fp32 wall windows, XLA FLOP count."""
+    jax = _jax_setup()
+    out: dict = {"n_chips": len(jax.devices())}
 
-    from im2im_uq_tpu.calibration.rcps import calibrate_model
-    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
-    from im2im_uq_tpu.models.heads import head_loss_pe_fn
-    from im2im_uq_tpu.parallel.mesh import data_parallel_mesh, replicate_tree
-    from im2im_uq_tpu.training.train import TrainState, make_train_step
-
-    config = {
-        "model": "UNet",
-        "uncertainty_type": "quantiles",
-        "q_lo": 0.05,
-        "q_hi": 0.95,
-        "q_lo_weight": 1.0,
-        "q_hi_weight": 1.0,
-        "mse_weight": 1.0,
-        "alpha": 0.1,
-        "delta": 0.1,
-        "num_lambdas": NUM_LAMBDAS,
-        "minimum_lambda": 0.0,
-        "maximum_lambda": 6.0,
-        "rcps_loss": "fraction_missed",
-        "batch_size": 64,
-        "dataset": "synthetic",
-    }
-    n_chips = len(jax.devices())
-    mesh = data_parallel_mesh()
-
-    x0 = jnp.zeros((1, IMAGE, IMAGE, 1), jnp.float32)
-    state = add_uncertainty(
-        build_trunk(config), config, rng=jax.random.key(0), example_input=x0
-    )
-    tx = optax.adam(1e-3)
-    ts = TrainState(
-        params=state.variables["params"],
-        batch_stats=state.variables["batch_stats"],
-        opt_state=tx.init(state.variables["params"]),
-        step=jnp.zeros((), jnp.int32),
-    )
-    ts = replicate_tree(mesh, ts)
-    step = make_train_step(state.model, head_loss_pe_fn("quantiles"), config, tx, mesh)
-
-    rng = np.random.RandomState(0)
-    x = rng.randn(BATCH, IMAGE, IMAGE, 1).astype(np.float32)
-    y = rng.randn(BATCH, IMAGE, IMAGE, 1).astype(np.float32)
-    mask = np.ones((BATCH,), np.float32)
-
-    # kick off the calibration-program compile in the background, exactly as
-    # train_net does in production — it overlaps the train compile+steps
-    # below, so "cold" calibration pays deserialization, not compilation
-    from im2im_uq_tpu.calibration.rcps import precompile_calibration
-
-    precompile_thread = precompile_calibration(
-        state, config, (x[0], y[0]), mesh=mesh, batch_size=32
-    )
-
-    # warmup/compile
-    ts, loss = step(ts, x, y, mask)
+    mesh, state, ts, tx, step, x, y, mask = _build(CONFIG)
+    ts, loss = step(ts, x, y, mask)  # warmup/compile
     jax.block_until_ready(loss)
-    # wall-clock windows (median of 3) — reported as an *extra* only: the
-    # tunneled chip's wall clock misreports under load (STATUS.md), so the
-    # headline is derived from profiler device-busy time below
     wall_dts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -130,126 +150,115 @@ def main() -> None:
             ts, loss = step(ts, x, y, mask)
         jax.block_until_ready(loss)
         wall_dts.append(time.perf_counter() - t0)
-    wall_ms_per_step = sorted(wall_dts)[1] / TRAIN_STEPS * 1e3
+    out["wall_ms_per_step_fp32"] = round(sorted(wall_dts)[1] / TRAIN_STEPS * 1e3, 2)
+    busy32, err32 = _device_busy_ms(step, ts, x, y, mask)
+    out["device_busy_ms_per_step_fp32"] = busy32
+    if err32:
+        out["device_busy_fp32_error"] = err32
+    del ts
 
-    # device-busy time from a profiler trace: the tunnel's wall clock can
-    # misreport under load, so also derive on-chip busy ms/step (sum of
-    # device-lane op durations / steps) as a load-independent cross-check
-    device_ms_per_step = _device_busy_ms(step, ts, x, y, mask, steps=3)
+    bf16_cfg = dict(CONFIG, compute_dtype="bfloat16")
+    mesh, state16, ts16, tx, step16, x, y, mask = _build(bf16_cfg)
+    ts16, l16 = step16(ts16, x, y, mask)
+    jax.block_until_ready(l16)
+    busy16, err16 = _device_busy_ms(step16, ts16, x, y, mask)
+    out["device_busy_ms_per_step_bf16"] = busy16
+    if err16:
+        out["device_busy_bf16_error"] = err16
 
-    # in-graph K-step loop: ONE dispatch runs lax.fori_loop over the train
-    # step on a device-resident batch — immune to per-step dispatch overhead
-    # and host→device feeds, so its wall time is a *measured* ms/step that
-    # either confirms the device-busy headline or quantifies the gap
-    # (VERDICT r2 #2)
-    from im2im_uq_tpu.parallel.mesh import shard_batch
-    from im2im_uq_tpu.training.train import make_train_multistep
+    # FLOPs/step from XLA's own cost model (for the MFU extra); analytic
+    # fallback: ~97 GFLOP fwd/img at 320^2 x 3 for fwd+bwd
+    flops = None
+    try:
+        ca = step16.lower(ts16, x, y, mask).compile().cost_analysis()
+        ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca0:
+            flops = float(ca0.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    out["flops_per_step"] = flops or 97e9 * 3 * BATCH
+    return out
 
-    def _ingraph_ms(cfg, model, variables, reps: int = 2):
+
+def leg_ingraph() -> dict:
+    """lax.fori_loop K-step wall per step, fp32 + bf16 (one dispatch)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.parallel.mesh import replicate_tree, shard_batch
+    from im2im_uq_tpu.training.train import TrainState, make_train_multistep
+
+    out: dict = {}
+    for tag, cfg in (
+        ("fp32", CONFIG),
+        ("bf16", dict(CONFIG, compute_dtype="bfloat16")),
+    ):
+        mesh, state, ts, tx, _, x, y, mask = _build(cfg)
         loop = make_train_multistep(
-            model, head_loss_pe_fn("quantiles"), cfg, tx, TRAIN_STEPS,
+            state.model, head_loss_pe_fn("quantiles"), cfg, tx, TRAIN_STEPS,
             mesh=mesh,
         )
-        lts = TrainState(
-            params=jax.tree.map(lambda a: jnp.array(a, copy=True), variables["params"]),
-            batch_stats=jax.tree.map(
-                lambda a: jnp.array(a, copy=True), variables["batch_stats"]
-            ),
-            opt_state=tx.init(variables["params"]),
-            step=jnp.zeros((), jnp.int32),
-        )
-        lts = replicate_tree(mesh, lts)
         xd, yd, md = shard_batch(mesh, (x, y, mask))
+        lts = jax.tree.map(lambda a: jnp.array(a, copy=True), ts)
+        lts = replicate_tree(mesh, lts)
         lts, l = loop(lts, xd, yd, md)  # compile + warmup
         jax.block_until_ready(l)
         best = None
-        for _ in range(reps):
+        for _ in range(2):
             t0 = time.perf_counter()
             lts, l = loop(lts, xd, yd, md)
             jax.block_until_ready(l)
             dt = (time.perf_counter() - t0) / TRAIN_STEPS * 1e3
             best = dt if best is None else min(best, dt)
+        out[f"ingraph_wall_ms_per_step_{tag}"] = round(best, 2)
         del lts
-        return best
+    return out
 
-    try:
-        ingraph_ms_fp32 = _ingraph_ms(config, state.model, state.variables)
-    except Exception as e:
-        print(f"# in-graph loop (fp32) skipped: {e}", file=sys.stderr)
-        ingraph_ms_fp32 = None
 
-    # bf16 activation path (reference numerics stay fp32; this is the
-    # TPU-native precision option) — device-busy only
-    bf16_cfg = dict(config, compute_dtype="bfloat16")
-    state16 = add_uncertainty(
-        build_trunk(bf16_cfg), bf16_cfg, rng=jax.random.key(0), example_input=x0
+def leg_serving() -> dict:
+    """Calibrated nested-sets forward (scripts.infer path), bf16: busy + wall."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+
+    bf16_cfg = dict(CONFIG, compute_dtype="bfloat16")
+    mesh, state16, ts16, tx, step16, x, y, mask = _build(bf16_cfg)
+    out: dict = {}
+    eval16 = state16.replace(
+        variables={"params": ts16.params, "batch_stats": ts16.batch_stats}
     )
-    ts16 = TrainState(
-        params=state16.variables["params"],
-        batch_stats=state16.variables["batch_stats"],
-        opt_state=tx.init(state16.variables["params"]),
-        step=jnp.zeros((), jnp.int32),
+    xj = jnp.asarray(x)
+    lo, _, hi = eval16.nested_sets(xj, lam=1.0)  # compile + warmup
+    jax.block_until_ready(lo)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        lo, _, hi = eval16.nested_sets(xj, lam=1.0)
+    jax.block_until_ready(lo)
+    out["serving_wall_ms_per_batch_bf16"] = round(
+        (time.perf_counter() - t0) / TRAIN_STEPS * 1e3, 2
     )
-    ts16 = replicate_tree(mesh, ts16)
-    step16 = make_train_step(
-        state16.model, head_loss_pe_fn("quantiles"), bf16_cfg, tx, mesh
-    )
-    ts16, l16 = step16(ts16, x, y, mask)
-    jax.block_until_ready(l16)
-    device_ms_bf16 = _device_busy_ms(step16, ts16, x, y, mask, steps=3)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(3):
+                lo, _, hi = eval16.nested_sets(xj, lam=1.0)
+            jax.block_until_ready(lo)
+        bd = device_busy_breakdown(td, steps=3)
+    if bd:
+        out["serving_busy_ms_per_batch_bf16"] = round(bd["total_ms"], 2)
+    return out
 
-    try:
-        ingraph_ms_bf16 = _ingraph_ms(bf16_cfg, state16.model, state16.variables)
-    except Exception as e:
-        print(f"# in-graph loop (bf16) skipped: {e}", file=sys.stderr)
-        ingraph_ms_bf16 = None
 
-    # FLOPs/step from XLA's own cost model (for the MFU extra); analytic
-    # fallback: ~97 GFLOP fwd/img at 320^2 (XLA cost analysis of the UNet
-    # forward) x 3 for fwd+bwd
-    flops_per_step = None
-    try:
-        ca = step16.lower(ts16, x, y, mask).compile().cost_analysis()
-        ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
-        if ca0:
-            flops_per_step = float(ca0.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    if not flops_per_step:
-        flops_per_step = 97e9 * 3 * BATCH
+def leg_calib() -> dict:
+    """RCPS calibration wall at FastMRI scale: AOT-warm cold start + steady."""
+    jax = _jax_setup()
+    import numpy as np
 
-    # serving throughput: the scripts.infer path — calibrated-interval
-    # forward (nested_sets) on the production bf16 model. Device-busy from
-    # a short trace (tunnel-load-independent), wall as the dispatch check.
-    serve_ms_busy = serve_ms_wall = None
-    try:
-        import tempfile as _tf
+    from im2im_uq_tpu.calibration.rcps import calibrate_model, precompile_calibration
 
-        from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+    mesh, state, ts, tx, step, x, y, mask = _build(CONFIG)
 
-        eval16 = state16.replace(
-            variables={"params": ts16.params, "batch_stats": ts16.batch_stats}
-        )
-        xj = jnp.asarray(x)
-        lo, _, hi = eval16.nested_sets(xj, lam=1.0)  # compile + warmup
-        jax.block_until_ready(lo)
-        t0 = time.perf_counter()
-        for _ in range(TRAIN_STEPS):
-            lo, _, hi = eval16.nested_sets(xj, lam=1.0)
-        jax.block_until_ready(lo)
-        serve_ms_wall = (time.perf_counter() - t0) / TRAIN_STEPS * 1e3
-        with _tf.TemporaryDirectory() as td:
-            with jax.profiler.trace(td):
-                for _ in range(3):
-                    lo, _, hi = eval16.nested_sets(xj, lam=1.0)
-                jax.block_until_ready(lo)
-            bd = device_busy_breakdown(td, steps=3)
-        serve_ms_busy = bd["total_ms"] if bd else None
-    except Exception as e:
-        print(f"# serving throughput skipped: {e}", file=sys.stderr)
-    del ts16, state16
-
-    # calibration wall-clock at FastMRI scale (forward + full λ-grid table + λ̂)
     class _Synth:
         def __len__(self):
             return CALIB_N
@@ -261,104 +270,235 @@ def main() -> None:
                 r.randn(IMAGE, IMAGE, 1).astype(np.float32),
             )
 
+    # exactly the production train_net overlap: the thread AOT-compiles
+    # (never executes — round-3 race postmortem, calibration/rcps.py) while
+    # the main thread dispatches train steps
+    thread = precompile_calibration(
+        state, CONFIG, (x[0], y[0]), mesh=mesh, batch_size=32
+    )
+    ts, loss = step(ts, x, y, mask)
+    jax.block_until_ready(loss)
+    for _ in range(10):
+        ts, loss = step(ts, x, y, mask)
+    jax.block_until_ready(loss)
     state = state.replace(
         variables={"params": ts.params, "batch_stats": ts.batch_stats}
     )
+    if thread is not None:
+        thread.join(timeout=600)
     calib_ds = _Synth()
-    if precompile_thread is not None:
-        precompile_thread.join(timeout=600)
     t0 = time.perf_counter()
-    state, _ = calibrate_model(state, calib_ds, config, mesh=mesh, batch_size=32)
-    calib_cold = time.perf_counter() - t0  # includes one-time compile
+    state, _ = calibrate_model(state, calib_ds, CONFIG, mesh=mesh, batch_size=32)
+    cold = time.perf_counter() - t0  # first call (AOT executable from the thread)
     t0 = time.perf_counter()
-    state, _ = calibrate_model(state, calib_ds, config, mesh=mesh, batch_size=32)
-    calib_seconds = time.perf_counter() - t0  # steady state (compiled)
+    state, _ = calibrate_model(state, calib_ds, CONFIG, mesh=mesh, batch_size=32)
+    steady = time.perf_counter() - t0
+    return {
+        "calibration_seconds_n128_L1000": round(steady, 2),
+        "calibration_seconds_incl_compile": round(cold, 2),
+        "lhat": state.lhat,
+    }
 
-    baseline = None
-    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
-    if os.path.exists(base_file):
-        with open(base_file) as fh:
-            baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
+
+def leg_duty() -> dict:
+    """End-to-end epoch duty cycle (VERDICT r3 #6): chip-busy vs wall for one
+    epoch at FastMRI geometry with the production raw-kspace on-device
+    transform feed. 'imgs/sec/chip' is only honest if the chip is fed —
+    this quantifies the host-side stall share on THIS (CPU-throttled) host."""
+    jax = _jax_setup()
+    import numpy as np
+
+    from im2im_uq_tpu.data.core import iterate_batches
+    from im2im_uq_tpu.data.fastmri import FastMRIDataset, write_synthetic_volume
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.parallel.mesh import put_batch
+    from im2im_uq_tpu.training.train import make_train_step
+
+    ddir = os.path.join(tempfile.gettempdir(), "bench_duty_fastmri")
+    os.makedirs(ddir, exist_ok=True)
+    if not [f for f in os.listdir(ddir) if f.endswith(".h5")]:
+        for i in range(5):
+            write_synthetic_volume(
+                os.path.join(ddir, f"vol{i}.h5"), num_slices=32,
+                enc_shape=(640, 368), recon_shape=(IMAGE, IMAGE), seed=i,
+            )
+    ds = FastMRIDataset(
+        ddir, "standard", "min-max",
+        {"type": "random", "center_fraction": [0.08], "acceleration": [4]},
+        return_kspace=True,
+    )
+    bf16_cfg = dict(CONFIG, compute_dtype="bfloat16")
+    mesh, state16, ts16, tx, _, x, y, mask = _build(bf16_cfg)
+    step = make_train_step(
+        state16.model, head_loss_pe_fn("quantiles"), bf16_cfg, tx, mesh,
+        preprocess=ds.device_preprocess((IMAGE, IMAGE)),
+    )
+    # warmup/compile outside the window
+    it = iterate_batches(ds, BATCH, shuffle=False)
+    xb, yb, mb = next(iter(it))
+    ts16, loss = step(ts16, *put_batch(mesh, xb, yb, mb))
+    jax.block_until_ready(loss)
+    busy_ms, busy_err = _device_busy_ms(step, ts16, xb, yb, mb)
+    t0 = time.perf_counter()
+    steps = 0
+    for xb, yb, mb in iterate_batches(ds, BATCH, shuffle=True,
+                                      rng=np.random.RandomState(0)):
+        ts16, loss = step(ts16, *put_batch(mesh, xb, yb, mb))
+        steps += 1
+    jax.block_until_ready(loss)
+    wall_s = time.perf_counter() - t0
+    out = {
+        "epoch_steps": steps,
+        "epoch_wall_seconds": round(wall_s, 2),
+        "epoch_imgs_per_sec_end_to_end": round(len(ds) / wall_s, 1),
+    }
+    if busy_ms:
+        out["epoch_duty_cycle"] = round(steps * busy_ms / 1e3 / wall_s, 4)
+        out["epoch_chip_busy_seconds"] = round(steps * busy_ms / 1e3, 2)
+    elif busy_err:
+        out["epoch_duty_error"] = busy_err
+    return out
+
+
+LEGS = {
+    "train": leg_train,
+    "ingraph": leg_ingraph,
+    "serving": leg_serving,
+    "calib": leg_calib,
+    "duty": leg_duty,
+}
+
+# per-leg wall budget (s): compiles through the tunnel vary 30 s – 10 min
+LEG_TIMEOUTS = {
+    "train": 1800,
+    "ingraph": 1800,
+    "serving": 1200,
+    "calib": 1500,
+    "duty": 1500,
+}
+
+
+def _run_leg(name: str) -> tuple[dict | None, str | None]:
+    """Run one leg in a child interpreter; (result, error)."""
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+        out_path = fh.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", name,
+             "--out", out_path],
+            cwd=REPO,
+            timeout=LEG_TIMEOUTS[name],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+            return None, f"rc={proc.returncode}: {' | '.join(tail)}"
+        with open(out_path) as fh:
+            return json.load(fh), None
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {LEG_TIMEOUTS[name]}s"
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main() -> None:
+    extras: dict = {"batch": BATCH, "image": IMAGE}
+    leg_errors: dict = {}
+    for name in ("train", "ingraph", "serving", "calib", "duty"):
+        result, err = _run_leg(name)
+        if err:
+            leg_errors[name] = err
+            print(f"# leg {name} failed: {err}", file=sys.stderr)
+        else:
+            extras.update(result)
+
+    n_chips = extras.pop("n_chips", 1)
+    extras["n_chips"] = n_chips
+    busy16 = extras.get("device_busy_ms_per_step_bf16")
+    busy32 = extras.get("device_busy_ms_per_step_fp32")
+    ingraph16 = extras.get("ingraph_wall_ms_per_step_bf16")
+    wall32 = extras.get("wall_ms_per_step_fp32")
 
     # Headline = measured wall of the in-graph K-step loop (one dispatch,
     # device-resident batch — immune to dispatch overhead and tunnel load
     # windows) on the production (bf16) train step; device-busy is the
     # cross-check. Falls back to device-busy, then per-step wall.
-    busy_ms = device_ms_bf16 or device_ms_per_step
-    if ingraph_ms_bf16:
-        imgs_per_sec = BATCH * 1e3 / ingraph_ms_bf16 / n_chips
+    if ingraph16:
+        imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
         basis = "ingraph_wall_bf16"
-    elif busy_ms:
-        imgs_per_sec = BATCH * 1e3 / busy_ms / n_chips
-        basis = "device_busy_bf16" if device_ms_bf16 else "device_busy_fp32"
-    else:
-        imgs_per_sec = BATCH / (wall_ms_per_step / 1e3) / n_chips
+    elif busy16 or busy32:
+        b = busy16 or busy32
+        imgs_per_sec = BATCH * 1e3 / b / n_chips
+        basis = "device_busy_bf16" if busy16 else "device_busy_fp32"
+    elif wall32:
+        imgs_per_sec = BATCH / (wall32 / 1e3) / n_chips
         basis = "wall_clock (no profiler trace available)"
-    # settled when the measured wall of one dispatch sits within ~10% of the
-    # profiler's device-busy number (VERDICT r2 #2)
-    wall_gap_settled = (
-        ingraph_ms_bf16 is not None
-        and device_ms_bf16 is not None
-        and abs(ingraph_ms_bf16 - device_ms_bf16) / device_ms_bf16 <= 0.10
-    )
-    # wall and busy are both fp32-step numbers here; wall < busy is impossible
-    wall_reliable = device_ms_per_step is None or wall_ms_per_step >= device_ms_per_step
-    mfu_bf16 = (
-        round(flops_per_step / (device_ms_bf16 / 1e3) / 197e12, 4)
-        if device_ms_bf16
-        else None
+    else:
+        print(json.dumps({
+            "metric": "unet_train_imgs_per_sec_per_chip",
+            "value": None,
+            "unit": "imgs/sec/chip",
+            "vs_baseline": None,
+            "extras": {"leg_errors": leg_errors, **extras},
+        }))
+        sys.exit(1)
+
+    extras["value_basis"] = basis
+    # settled when the measured wall of one dispatch sits within ~10% of
+    # the profiler's device-busy number (VERDICT r2 #2)
+    if ingraph16 and busy16:
+        extras["wall_vs_busy_gap_settled"] = abs(ingraph16 - busy16) / busy16 <= 0.10
+    if busy32 is not None and wall32 is not None:
+        extras["wall_clock_reliable"] = wall32 >= busy32
+    if busy32:
+        extras["device_busy_imgs_per_sec_fp32"] = round(BATCH * 1e3 / busy32, 1)
+    flops = extras.get("flops_per_step")
+    if busy16 and flops:
+        extras["mfu_bf16"] = round(flops / (busy16 / 1e3) / 197e12, 4)
+    serve_busy = extras.get("serving_busy_ms_per_batch_bf16")
+    if serve_busy:
+        extras["serving_imgs_per_sec_bf16"] = round(BATCH * 1e3 / serve_busy, 1)
+    if leg_errors:
+        extras["leg_errors"] = leg_errors
+    extras["baseline_note"] = (
+        "vs_baseline compares one v5e chip against the reference "
+        "implementation on this host's CPU (torch has no TPU path); see "
+        "BENCH_BASELINE.json"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "unet_train_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else 1.0,
-                "extras": {
-                    "batch": BATCH,
-                    "image": IMAGE,
-                    "n_chips": n_chips,
-                    "value_basis": basis,
-                    "device_busy_ms_per_step_fp32": device_ms_per_step,
-                    "device_busy_ms_per_step_bf16": device_ms_bf16,
-                    "device_busy_imgs_per_sec_fp32": (
-                        round(BATCH * 1e3 / device_ms_per_step, 1)
-                        if device_ms_per_step
-                        else None
-                    ),
-                    "wall_ms_per_step_fp32": round(wall_ms_per_step, 2),
-                    "wall_clock_reliable": wall_reliable,
-                    "ingraph_wall_ms_per_step_fp32": (
-                        round(ingraph_ms_fp32, 2) if ingraph_ms_fp32 else None
-                    ),
-                    "ingraph_wall_ms_per_step_bf16": (
-                        round(ingraph_ms_bf16, 2) if ingraph_ms_bf16 else None
-                    ),
-                    "wall_vs_busy_gap_settled": wall_gap_settled,
-                    "mfu_bf16": mfu_bf16,
-                    "flops_per_step": flops_per_step,
-                    "calibration_seconds_n128_L1000": round(calib_seconds, 2),
-                    "calibration_seconds_incl_compile": round(calib_cold, 2),
-                    "serving_busy_ms_per_batch_bf16": (
-                        round(serve_ms_busy, 2) if serve_ms_busy else None
-                    ),
-                    "serving_imgs_per_sec_bf16": (
-                        round(BATCH * 1e3 / serve_ms_busy, 1) if serve_ms_busy else None
-                    ),
-                    "serving_wall_ms_per_batch_bf16": (
-                        round(serve_ms_wall, 2) if serve_ms_wall else None
-                    ),
-                    "lhat": state.lhat,
-                    "baseline_note": "vs_baseline compares one v5e chip against the "
-                    "reference implementation on this host's CPU (torch has no TPU "
-                    "path); see BENCH_BASELINE.json",
-                },
-            }
-        )
-    )
+    baseline = None
+    base_file = os.path.join(REPO, "BENCH_BASELINE.json")
+    if os.path.exists(base_file):
+        with open(base_file) as fh:
+            baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
+
+    print(json.dumps({
+        "metric": "unet_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else 1.0,
+        "extras": extras,
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--leg", choices=sorted(LEGS))
+    parser.add_argument("--out")
+    args = parser.parse_args()
+    if args.leg:
+        result = LEGS[args.leg]()
+        payload = json.dumps(result)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(payload)
+        else:
+            print(payload)
+    else:
+        main()

@@ -164,6 +164,38 @@ def _make_table_step(uq_state: UQState, lam_values: np.ndarray, mesh, method: st
     )
 
 
+# AOT-compiled table executables, keyed by (program identity, input shapes).
+# Populated by precompile_calibration's background thread — which only ever
+# COMPILES (host/compiler-service work); it must never execute on the device,
+# because concurrent dispatch from a second thread wedges this TPU backend
+# (round-3 postmortem: INVALID_ARGUMENT on the main thread, then SIGABRT from
+# the worker). compute_loss_table consumes the executable directly, so the
+# first calibration still pays ~0 instead of the ~12 s jit-cache population.
+_AOT_TABLE: dict = {}
+
+
+def _aot_key(model, utype, lam_tuple, mesh, method, var_sds, x_sds, y_sds):
+    def sig(tree):
+        return tuple(
+            (jax.tree_util.keystr(k), tuple(v.shape), jnp.dtype(v.dtype).name)
+            for k, v in jax.tree_util.tree_leaves_with_path(tree)
+        )
+
+    return (model, utype, lam_tuple, mesh, method, sig(var_sds), sig(x_sds),
+            sig(y_sds))
+
+
+def _abstract_like(tree, sharding=None):
+    """ShapeDtypeStruct pytree mirroring ``tree`` — no device arrays created."""
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), np.asarray(a).dtype if not hasattr(a, "dtype") else a.dtype,
+            sharding=sharding,
+        ),
+        tree,
+    )
+
+
 def compute_loss_table(
     uq_state: UQState,
     dataset,
@@ -181,11 +213,25 @@ def compute_loss_table(
     """
     step = _make_table_step(uq_state, lam_values, mesh, method)
     batch_size = mesh_lib.mesh_batch_size(batch_size, mesh)
+    lam_tuple = tuple(np.asarray(lam_values, np.float64).tolist())
+    compiled = None  # AOT executable from precompile_calibration, if any
     rows = []
     for x, y, mask in iterate_batches(dataset, batch_size, shuffle=False):
         xb, yb = mesh_lib.put_batch(mesh, x, y)
-        slab = np.asarray(mesh_lib.fetch(step(uq_state.variables, xb, yb)))
-        rows.append(slab[mask.astype(bool)])
+        if not rows:  # first batch fixes the shapes → one registry lookup
+            compiled = _AOT_TABLE.get(_aot_key(
+                uq_state.model, uq_state.uncertainty_type, lam_tuple, mesh,
+                method, _abstract_like(uq_state.variables),
+                _abstract_like(xb), _abstract_like(yb),
+            ))
+        if compiled is not None:
+            try:
+                slab = compiled(uq_state.variables, xb, yb)
+            except Exception:  # sharding/layout drift — jit path still works
+                compiled, slab = None, step(uq_state.variables, xb, yb)
+        else:
+            slab = step(uq_state.variables, xb, yb)
+        rows.append(np.asarray(mesh_lib.fetch(slab))[mask.astype(bool)])
     return np.concatenate(rows, axis=0)
 
 
@@ -246,11 +292,20 @@ def precompile_calibration(
     runs (VERDICT r1 weak #6). Compilation happens on the host/compiler
     service, not the chip, so it can overlap training: call this when the
     epoch loop starts (train_net does, via ``precompile_calibration: true``,
-    the default when the config carries RCPS keys) and the compiled
-    executable lands in the persistent compilation cache before
-    calibration needs it — the later call pays deserialization (seconds),
-    not compilation (tens of seconds). ``example`` is one (x, y) dataset
-    pair (shape source). Returns the background Thread, or None if ``block``.
+    the default when the config carries RCPS keys) and the AOT executable
+    lands in ``_AOT_TABLE`` before calibration needs it — compute_loss_table
+    runs it directly, so the first calibration pays nothing.
+
+    THREAD-SAFETY CONTRACT (round-3 postmortem): the background thread
+    lowers and compiles from abstract shapes only — it never creates device
+    arrays and never dispatches execution. The previous design executed a
+    dummy batch from this thread, and concurrent dispatch from two threads
+    aborts this TPU backend (main thread INVALID_ARGUMENT, worker SIGABRT),
+    which could kill real training runs (train_net starts this thread).
+    Pinned by tests/test_precompile_race.py + tools/tpu_race_check.py.
+
+    ``example`` is one (x, y) dataset pair (shape source). Returns the
+    background Thread, or None if ``block``.
     """
     method = method or default_table_method(config)
     lambdas = lambda_grid(config)
@@ -258,26 +313,26 @@ def precompile_calibration(
     bs = mesh_lib.mesh_batch_size(
         batch_size or config.get("batch_size", 64), mesh
     )
-    step = _make_table_step(uq_state, lambdas - dlambda, mesh, method)
+    lam_tuple = tuple((lambdas - dlambda).astype(np.float64).tolist())
+    step = _cached_table_step(
+        uq_state.model, uq_state.uncertainty_type, lam_tuple, mesh, method
+    )
     x, y = example
-    x0 = np.zeros((bs, *np.shape(x)), np.asarray(x).dtype)
-    y0 = np.zeros((bs, *np.shape(y)), np.asarray(y).dtype)
-    # private copy: the caller's variables may alias a train state whose
-    # buffers get DONATED by the first train step while this thread runs
-    variables = jax.tree.map(
-        lambda a: jnp.array(a, copy=True), uq_state.variables
+    x_sds = jax.ShapeDtypeStruct((bs, *np.shape(x)), np.asarray(x).dtype)
+    y_sds = jax.ShapeDtypeStruct((bs, *np.shape(y)), np.asarray(y).dtype)
+    var_sds = _abstract_like(uq_state.variables)
+    key = _aot_key(
+        uq_state.model, uq_state.uncertainty_type, lam_tuple, mesh, method,
+        var_sds, x_sds, y_sds,
     )
 
     def work():
-        # execute (not just AOT-lower) one dummy batch: only a real call
-        # populates the jit executable cache, so the later calibrate_model
-        # pays nothing — lower().compile() alone would leave it re-loading
-        # the program from the persistent cache (measured ~12 s at FastMRI
-        # scale)
+        # abstract-shape lower().compile() only — see the thread-safety
+        # contract above. The jitted step's in_shardings (set when mesh is
+        # not None) bind the avals, so no shardings are needed on the SDSes.
         try:
-            jax.block_until_ready(
-                step(variables, *mesh_lib.put_batch(mesh, x0, y0))
-            )
+            if key not in _AOT_TABLE:
+                _AOT_TABLE[key] = step.lower(var_sds, x_sds, y_sds).compile()
         except Exception as e:  # best-effort: calibration still compiles lazily
             print(f"calibration precompile skipped: {e}")
 

@@ -201,15 +201,44 @@ def resolve_bn_backend(params: dict) -> str:
     return backend
 
 
+def resolve_remat(params: dict):
+    """``remat`` ∈ {False, True, 'full', 'conv', 'bn'} → UNet remat mode.
+
+    Config files may carry booleans or 0/1 (the pre-round-3 flag was a
+    bool); coerce True-like values to the 'full' policy here so a
+    ``remat: 1`` config fails at the config layer, not at trace time
+    inside the UNet."""
+    v = params.get("remat", False)
+    if v in (False, 0, None):
+        return False
+    if v is True or v == 1:
+        return "full"
+    if v in ("full", "conv", "bn"):
+        return v
+    raise ValueError(
+        f"unknown remat mode {v!r} (expected false, true, 'full', 'conv', "
+        "or 'bn')"
+    )
+
+
 def build_trunk(params: dict, dtype: Any = None) -> nn.Module:
     """Trunk factory for the router's model dispatch (reference router.py:80-84)."""
     dtype = resolve_dtype(params, dtype)
     cb = resolve_conv_backend(params)
     bb = resolve_bn_backend(params)
+    if cb == "pallas_fused" and bb != "flax":
+        # the _fused/_packed_fused DoubleConv paths hardwire FusedBN/PackedBN
+        # (BN is fused INTO the Pallas conv kernels) — a non-flax bn_backend
+        # would be silently ignored there
+        raise ValueError(
+            f"bn_backend={bb!r} is incompatible with conv_backend="
+            "'pallas_fused' (its kernels fuse their own BN); use "
+            "conv_backend xla/pallas or bn_backend flax/auto"
+        )
     name = params.get("model", "UNet")
     rb = params.get("resize_backend", "auto")
     if name == "UNet":
-        return UNet(n_channels_out=1, dtype=dtype, remat=params.get("remat", False),
+        return UNet(n_channels_out=1, dtype=dtype, remat=resolve_remat(params),
                     conv_backend=cb, lane_pack=resolve_lane_pack(params),
                     pool_backend=params.get("pool_backend", "xla"),
                     resize_backend=rb, bn_backend=bb)

@@ -213,6 +213,10 @@ class DotBatchNorm(nn.Module):
                 mul, add = jnp.tile(mul, self.groups), jnp.tile(add, self.groups)
             x, mul, add = nn.dtypes.promote_dtype(x, mul, add, dtype=self.dtype)
             return x * mul + add
+        # mirror the eval path's dtype promotion: bn_train keeps x.dtype, so
+        # promote x first or train/eval outputs disagree with the flax path
+        # when input dtype != compute dtype
+        (x,) = nn.dtypes.promote_dtype(x, dtype=self.dtype)
         y, mean, var = bn_train(
             x,
             scale.astype(jnp.float32),

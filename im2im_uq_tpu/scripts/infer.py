@@ -27,6 +27,7 @@ import argparse
 import json
 import math
 import os
+import sys
 import time
 from pathlib import Path
 from typing import Iterator, Optional
@@ -268,10 +269,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     if (args.data_parallel or args.spatial) and jax.device_count() > 1:
         if args.artifact:
             raise SystemExit(
-                "--data-parallel/--spatial are not supported with --artifact: "
-                "the AOT module is compiled for one device — serve per-chip "
-                "processes or use --config/--checkpoint serving for mesh "
-                "sharding"
+                "--data-parallel/--spatial only apply to --config/--checkpoint "
+                "serving: an artifact's sharding is baked in at export time. "
+                "For a data-parallel artifact, re-export with "
+                "`export_serving --n-devices N` (it auto-shards at load); "
+                "otherwise serve per-chip processes."
             )
         from im2im_uq_tpu.parallel.mesh import data_parallel_mesh
 
@@ -287,6 +289,15 @@ def main(argv: Optional[list[str]] = None) -> int:
                 f"λ̂={state.lhat} — re-export to change λ"
             )
         lam = state.lhat
+        if "--batch-size" in (argv if argv is not None else sys.argv[1:]) and (
+            args.batch_size != state.batch_size
+        ):
+            print(
+                f"warning: --batch-size {args.batch_size} ignored — the "
+                f"artifact's program has a fixed batch shape of "
+                f"{state.batch_size} (baked at export time)",
+                file=sys.stderr,
+            )
         args.batch_size = state.batch_size  # the program's fixed batch shape
         utype = state.uncertainty_type
     else:
