@@ -8,7 +8,12 @@ step's device-busy imgs/sec (bench.py extras): the loader must be
 faster, or the chip starves.
 
 Usage: PYTHONPATH=/root/repo python benchmarks/bench_input_pipeline.py \
-    [batch] [--raw-kspace] [--chip-rate N]
+    [batch] [--raw-kspace] [--temca] [--chip-rate N]
+
+``--temca`` measures the TEMCA patch stream instead (320² patches from
+synthetic PNG tiles): host-transform mode vs the ``return_raw`` chip-rate
+feed (device_preprocess_pair moves normalize + the two resamples into the
+train-step program; the host keeps PNG decode + the C++ patch loop only).
 
 ``--chip-rate`` (default 254, the v5e bf16 device-busy imgs/s/chip from
 bench.py) sizes the host-core budget: this VM is single-core with a CPU
@@ -31,12 +36,48 @@ import time
 import numpy as np
 
 
+def temca_main(chip_rate: float):
+    """TEMCA stream: host-transform vs raw-uint8 feed imgs/sec at 320²."""
+    import random
+
+    from im2im_uq_tpu.data.temca import TEMCADataset
+
+    with tempfile.TemporaryDirectory() as td:
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            Image.fromarray(
+                rng.randint(1, 255, size=(1280, 1280), dtype=np.uint8),
+                mode="L",
+            ).save(os.path.join(td, f"tile{i}.png"))
+        for raw in (False, True):
+            random.seed(0)
+            ds = TEMCADataset(td + "/", patch_size=(320, 320),
+                              downsampling=(4, 4), buffer_size=2,
+                              normalize="01")
+            ds.return_raw = raw
+            n = sum(1 for _ in ds)  # warmup epoch (fs cache)
+            t0 = time.perf_counter()
+            for _ in ds:
+                pass
+            per_core = n / (time.perf_counter() - t0)
+            tag = "raw uint8 (on-device transform)" if raw else "host transform"
+            cores = math.ceil(chip_rate / per_core)
+            print(f"temca stream [{tag}]: {per_core:.1f} imgs/sec/core "
+                  f"({n} patches/epoch) -> host-core budget {cores} "
+                  f"core(s) at {chip_rate:.0f} imgs/s chip rate")
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32
     raw = "--raw-kspace" in sys.argv
     chip_rate = 254.0
     if "--chip-rate" in sys.argv:
         chip_rate = float(sys.argv[sys.argv.index("--chip-rate") + 1])
+    if "--temca" in sys.argv:
+        temca_main(chip_rate)
+        return
 
     from im2im_uq_tpu.data.core import iterate_batches
     from im2im_uq_tpu.data.fastmri import FastMRIDataset, write_synthetic_volume

@@ -71,11 +71,13 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
     lane_pack = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    bn_backend = sys.argv[5] if len(sys.argv) > 5 else "auto"
     cfg = {
         "model": "UNet", "uncertainty_type": "quantiles",
         "q_lo": 0.05, "q_hi": 0.95, "q_lo_weight": 1.0, "q_hi_weight": 1.0,
         "mse_weight": 1.0, "compute_dtype": dtype, "conv_backend": backend,
         "lane_pack": lane_pack if lane_pack == "auto" else bool(int(lane_pack)),
+        "bn_backend": bn_backend,
     }
     x0 = jnp.zeros((1, 320, 320, 1), jnp.float32)
     st = add_uncertainty(build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=x0)

@@ -72,6 +72,8 @@ class TEMCADataset:
         self.norm_params: dict = {}
         self.cache_path = None
 
+        self.return_raw = False  # see device_preprocess_pair
+
         self.img_paths = sorted(glob(path + "**/*.png", recursive=True))
         random.shuffle(self.img_paths)
         if num_imgs != "all":
@@ -126,6 +128,17 @@ class TEMCADataset:
                 self._fill_buffer()
             if self.patch_buffer:
                 patch = self.patch_buffer.pop()
+                if getattr(self, "return_raw", False):
+                    # raw-uint8 feed for the on-device transform
+                    # (device_preprocess_pair): ship the patch bytes once
+                    # as input AND target — normalize + strided downsample
+                    # + nearest upsample all run inside the train-step XLA
+                    # program, and the host ships 1 byte/pixel instead of
+                    # 8 (two float32 images). The ops/mri_pipeline.py
+                    # pattern applied to the TEMCA stream.
+                    raw = patch[..., None]
+                    yield raw, raw
+                    continue
                 if po is not None and patch.dtype == np.uint8:
                     # fused native normalize + downsample/upsample pair
                     yield po.make_pair(
@@ -144,6 +157,44 @@ class TEMCADataset:
                 low = nearest_upsample(low, self.output_size)
                 yield low[..., None], gt[..., None]
         self.img_index = 0
+
+    def device_preprocess_pair(self):
+        """jnp closure reproducing the patch→pair transform ON DEVICE.
+
+        Chip-rate feed path for the TEMCA stream: with ``return_raw`` on,
+        the loader ships each uint8 patch once and this closure — passed as
+        ``preprocess_pair`` to make_train_step / make_eval_loss_step — does
+        the normalize + strided downsample + nearest upsample inside the
+        train-step XLA program. The two resamples compose into ONE gather
+        (low_up[i,j] = gt[d0·⌊i·h_low/ph⌋, d1·⌊j·w_low/pw⌋]), so the device
+        cost is a single elementwise pass + gather; the host cost drops to
+        PNG decode + patch slicing (the C++ native/patchops.cpp loop), and
+        host→device traffic drops 8× (1 uint8 byte/pixel vs two float32
+        images). Semantics match the host path (nearest_upsample + the
+        '01'/'-11' normalizations above): the resample indices are exact,
+        the normalization agrees to 1 ulp (XLA strength-reduces /255 to a
+        reciprocal multiply) — test-pinned in tests/test_temca_device.py.
+        """
+        import jax.numpy as jnp
+
+        ph, pw = self.output_size
+        d0, d1 = self.downsampling
+        h_low = len(range(0, ph, d0))
+        w_low = len(range(0, pw, d1))
+        rows = (np.arange(ph) * h_low // ph) * d0
+        cols = (np.arange(pw) * w_low // pw) * d1
+        normalize = self.normalize
+
+        def preprocess_pair(x_raw, y_raw):
+            gt = y_raw.astype(jnp.float32)
+            if normalize == "01":
+                gt = gt / 255.0
+            elif normalize == "-11":
+                gt = 2.0 * (gt / 255.0 - 0.5)
+            low = jnp.take(jnp.take(gt, rows, axis=1), cols, axis=2)
+            return low, gt
+
+        return preprocess_pair
 
     # -- router integration --------------------------------------------------
 

@@ -187,11 +187,17 @@ def resolve_lane_pack(params: dict) -> bool:
 def resolve_bn_backend(params: dict) -> str:
     """``bn_backend`` ∈ {auto, flax, dot, barrier} → concrete backend.
 
-    'auto' currently resolves to 'flax' (TorchBatchNorm / PackedBN).
-    'dot'/'barrier' route the BN channel reductions through
-    ops/batchnorm.py so they cannot serialize the elementwise fusions
-    (roofline rationale in that module's docstring); parity-tested,
-    checkpoint-compatible trees.
+    'auto' resolves to 'flax' (TorchBatchNorm / PackedBN) — MEASURED, not
+    assumed (v5e bf16 batch 32 @320², device-busy, round 4,
+    benchmarks/bench_backend_matrix.py): flax 126.0 ms < barrier 164.4 <
+    dot 171.5. The dot/barrier variants were built to un-serialize the BN
+    reduce epilogues XLA fuses into the elementwise passes (those run at
+    ~50% of standalone-achievable HBM BW), but the bucket breakdown shows
+    they make the BN buckets WORSE (fwd 38.0 vs 29.3 ms, bwd 33.1 vs
+    26.6): separating the reductions forces a second full-tensor read per
+    BN site, and one fused pass at 50% efficiency beats two passes at
+    full efficiency. Kept as parity-tested, checkpoint-compatible opt-ins;
+    the 126 ms step is the measured-achievable ceiling (STATUS.md).
     """
     backend = params.get("bn_backend", "auto")
     if backend == "auto":

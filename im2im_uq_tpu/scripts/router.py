@@ -177,22 +177,35 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
     # FFTs. Calibration/eval below run in image mode — statistically
     # identical, since the transform draws a fresh mask per access either
     # way (use_seed=False, reference FastMRIDataset.py:88).
-    preprocess = None
-    use_device_transform = bool(config.get("on_device_transform")) and hasattr(
-        dataset, "device_preprocess"
-    )
-    if use_device_transform:
-        crop = (np.asarray(y0).shape[0], np.asarray(y0).shape[1])
-        preprocess = dataset.device_preprocess(crop)
-        dataset.return_kspace = True  # train/val Subsets delegate to this
+    # TEMCA variant: return_raw ships uint8 patch bytes; normalize +
+    # downsample/upsample run on device via preprocess_pair
+    # (data/temca.py device_preprocess_pair). TEMCA splits are deep copies
+    # (split_by_paths), so the mode flag flips on the train/val copies.
+    preprocess = preprocess_pair = None
+    raw_targets: list = []
+    raw_attr = None
+    if bool(config.get("on_device_transform")):
+        if hasattr(dataset, "device_preprocess"):
+            crop = (np.asarray(y0).shape[0], np.asarray(y0).shape[1])
+            preprocess = dataset.device_preprocess(crop)
+            raw_attr = "return_kspace"
+            raw_targets = [dataset]  # train/val Subsets delegate to this
+        elif hasattr(dataset, "device_preprocess_pair"):
+            preprocess_pair = dataset.device_preprocess_pair()
+            raw_attr = "return_raw"
+            raw_targets = [d for d in (train_ds, val_ds)
+                           if hasattr(d, "return_raw")]
+    use_device_transform = raw_attr is not None
 
     def _image_mode():
-        if use_device_transform:
-            dataset.return_kspace = False
+        for d in raw_targets:
+            setattr(d, raw_attr, False)
 
     def _kspace_mode():
-        if use_device_transform:
-            dataset.return_kspace = True
+        for d in raw_targets:
+            setattr(d, raw_attr, True)
+
+    _kspace_mode()
 
     def validation_hook(current_state, epoch, global_step):
         # per-validation image panels (reference run_validation, train.py:29-58);
@@ -231,6 +244,7 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
             logger=logger,
             validation_hook=validation_hook,
             preprocess=preprocess,
+            preprocess_pair=preprocess_pair,
         )
     except PreemptionInterrupt as e:
         # graceful_shutdown saved a resumable checkpoint; exit with the
