@@ -426,16 +426,31 @@ def main() -> None:
     wall32 = extras.get("wall_ms_per_step_fp32")
 
     # Headline = measured wall of the in-graph K-step loop (one dispatch,
-    # device-resident batch — immune to dispatch overhead and tunnel load
-    # windows) on the production (bf16) train step; device-busy is the
-    # cross-check. Falls back to device-busy, then per-step wall.
-    if ingraph16:
+    # device-resident batch) on the production (bf16) train step — but ONLY
+    # when it is physically consistent with the profiler's device-busy time:
+    # one dispatch's wall cannot be faster than the chip's busy time, yet
+    # this tunnel's block_until_ready can ack early / memoize identical
+    # dispatches (measured round 4: 0.09 ms/step "wall" vs 126.0 ms busy for
+    # the same program; round 3's STATUS saw the same on fp32 microbenches).
+    # An implausible wall falls back to device-busy, the load-independent
+    # metric.
+    ingraph_valid = bool(ingraph16 and busy16 and ingraph16 >= 0.9 * busy16)
+    if ingraph16 and busy16:
+        extras["ingraph_wall_reliable"] = ingraph_valid
+    serve_wall = extras.get("serving_wall_ms_per_batch_bf16")
+    serve_busy_chk = extras.get("serving_busy_ms_per_batch_bf16")
+    if serve_wall and serve_busy_chk:
+        extras["serving_wall_reliable"] = serve_wall >= 0.9 * serve_busy_chk
+    if ingraph_valid:
         imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
         basis = "ingraph_wall_bf16"
     elif busy16 or busy32:
         b = busy16 or busy32
         imgs_per_sec = BATCH * 1e3 / b / n_chips
         basis = "device_busy_bf16" if busy16 else "device_busy_fp32"
+    elif ingraph16:
+        imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
+        basis = "ingraph_wall_bf16 (no device-busy cross-check available)"
     elif wall32:
         imgs_per_sec = BATCH / (wall32 / 1e3) / n_chips
         basis = "wall_clock (no profiler trace available)"

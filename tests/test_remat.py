@@ -78,3 +78,29 @@ def test_remat_modes_match_baseline():
 def test_remat_unknown_mode_raises():
     with pytest.raises(ValueError, match="remat"):
         _loss_and_grads("bogus", jnp.zeros((2, 32, 32, 1)), jnp.zeros((2, 32, 32, 1)))
+
+
+def test_resolve_remat_coercion():
+    """Config-level coercion: booleans/0/1 from YAML map to UNet modes and
+    unknown values fail at the config layer, not at trace time (advisor
+    round-3 finding)."""
+    from im2im_uq_tpu.models.assembly import resolve_remat
+
+    assert resolve_remat({}) is False
+    assert resolve_remat({"remat": False}) is False
+    assert resolve_remat({"remat": 0}) is False
+    assert resolve_remat({"remat": None}) is False
+    assert resolve_remat({"remat": True}) == "full"
+    assert resolve_remat({"remat": 1}) == "full"
+    for mode in ("full", "conv", "bn"):
+        assert resolve_remat({"remat": mode}) == mode
+    with pytest.raises(ValueError, match="remat"):
+        resolve_remat({"remat": "bogus"})
+
+
+def test_pallas_fused_rejects_non_flax_bn():
+    from im2im_uq_tpu.models.assembly import build_trunk
+
+    cfg = {"model": "UNet", "conv_backend": "pallas_fused", "bn_backend": "dot"}
+    with pytest.raises(ValueError, match="pallas_fused"):
+        build_trunk(cfg)
