@@ -360,7 +360,23 @@ def leg_duty() -> dict:
     return out
 
 
+def leg_probe() -> dict:
+    """Tunnel-health canary: import jax (which connects to the axon relay)
+    and dispatch one trivial op. When the tunnel relay is down, `import
+    jax` itself blocks forever inside the plugin — measured on this host
+    (round 4) — so every real leg would burn its full timeout. The parent
+    runs this first with a short budget and fails the whole bench fast
+    (with retries) instead."""
+    import jax
+    import jax.numpy as jnp
+
+    v = float((jnp.arange(8.0) * 2).sum())
+    assert v == 56.0, v
+    return {"probe_ok": True, "n_chips": len(jax.devices())}
+
+
 LEGS = {
+    "probe": leg_probe,
     "train": leg_train,
     "ingraph": leg_ingraph,
     "serving": leg_serving,
@@ -370,6 +386,7 @@ LEGS = {
 
 # per-leg wall budget (s): compiles through the tunnel vary 30 s – 10 min
 LEG_TIMEOUTS = {
+    "probe": 300,
     "train": 1800,
     "ingraph": 1800,
     "serving": 1200,
@@ -410,6 +427,33 @@ def _run_leg(name: str) -> tuple[dict | None, str | None]:
 def main() -> None:
     extras: dict = {"batch": BATCH, "image": IMAGE}
     leg_errors: dict = {}
+
+    # Dead-tunnel fast path: a downed axon relay makes `import jax` hang,
+    # so without this canary every leg would burn its full timeout
+    # (~2.2 h of hangs before the inevitable rc=1). Three probe attempts
+    # (~16 min worst case) also give a flapping relay a chance to recover.
+    probe_err = None
+    for attempt in range(3):
+        result, probe_err = _run_leg("probe")
+        if probe_err is None:
+            extras.update(result)
+            break
+        print(f"# tunnel probe attempt {attempt + 1} failed: {probe_err}",
+              file=sys.stderr)
+        if attempt < 2:
+            time.sleep(60)
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "unet_train_imgs_per_sec_per_chip",
+            "value": None,
+            "unit": "imgs/sec/chip",
+            "vs_baseline": None,
+            "extras": {"leg_errors": {"probe": probe_err}, **extras,
+                       "note": "TPU tunnel unreachable (import jax hangs); "
+                               "no measurement possible on this host"},
+        }))
+        sys.exit(1)
+
     for name in ("train", "ingraph", "serving", "calib", "duty"):
         result, err = _run_leg(name)
         if err:
