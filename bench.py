@@ -462,6 +462,25 @@ def main() -> None:
         else:
             extras.update(result)
 
+    baseline = None
+    base_file = os.path.join(REPO, "BENCH_BASELINE.json")
+    if os.path.exists(base_file):
+        with open(base_file) as fh:
+            baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
+
+    payload = compute_headline(extras, leg_errors, baseline)
+    print(json.dumps(payload))
+    if payload["value"] is None:
+        sys.exit(1)
+
+
+def compute_headline(extras: dict, leg_errors: dict,
+                     baseline: float | None = None) -> dict:
+    """Pick the headline imgs/s/chip and its basis from the leg results.
+
+    Pure host-side logic (no jax) so the basis-selection rules — the
+    wall-vs-busy sanity gates that decide what number the round reports —
+    are unit-testable (tests/test_bench_headline.py)."""
     n_chips = extras.pop("n_chips", 1)
     extras["n_chips"] = n_chips
     busy16 = extras.get("device_busy_ms_per_step_bf16")
@@ -499,14 +518,13 @@ def main() -> None:
         imgs_per_sec = BATCH / (wall32 / 1e3) / n_chips
         basis = "wall_clock (no profiler trace available)"
     else:
-        print(json.dumps({
+        return {
             "metric": "unet_train_imgs_per_sec_per_chip",
             "value": None,
             "unit": "imgs/sec/chip",
             "vs_baseline": None,
             "extras": {"leg_errors": leg_errors, **extras},
-        }))
-        sys.exit(1)
+        }
 
     extras["value_basis"] = basis
     # settled when the measured wall of one dispatch sits within ~10% of
@@ -531,19 +549,13 @@ def main() -> None:
         "BENCH_BASELINE.json"
     )
 
-    baseline = None
-    base_file = os.path.join(REPO, "BENCH_BASELINE.json")
-    if os.path.exists(base_file):
-        with open(base_file) as fh:
-            baseline = json.load(fh).get("train_imgs_per_sec_per_chip")
-
-    print(json.dumps({
+    return {
         "metric": "unet_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3) if baseline else 1.0,
         "extras": extras,
-    }))
+    }
 
 
 if __name__ == "__main__":

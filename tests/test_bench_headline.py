@@ -1,0 +1,115 @@
+"""Unit tests for bench.py's headline-basis selection.
+
+The basis rules decide what number the round reports, and round 4 found a
+tunnel failure mode where wall clocks are physically impossible
+(block_until_ready acking early: 0.09 ms/step "wall" vs 126.0 ms
+device-busy for the same program). These pin the sanity gates without
+touching a device — compute_headline is pure host-side logic.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import BATCH, compute_headline  # noqa: E402
+
+pytestmark = pytest.mark.smoke
+
+
+def _run(extras, leg_errors=None, baseline=None):
+    return compute_headline(dict(extras), dict(leg_errors or {}), baseline)
+
+
+def test_ingraph_wall_preferred_when_plausible():
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 127.5,
+    })
+    assert out["extras"]["value_basis"] == "ingraph_wall_bf16"
+    assert out["extras"]["ingraph_wall_reliable"] is True
+    assert out["value"] == round(BATCH * 1e3 / 127.5, 3)
+
+
+def test_implausibly_fast_wall_falls_back_to_device_busy():
+    # the measured round-4 anomaly: 0.09 ms/step "wall" vs 126.0 busy
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 0.09,
+    })
+    assert out["extras"]["value_basis"] == "device_busy_bf16"
+    assert out["extras"]["ingraph_wall_reliable"] is False
+    assert out["value"] == round(BATCH * 1e3 / 126.0, 3)
+
+
+def test_wall_within_ten_percent_of_busy_is_plausible():
+    # the gate is >= 0.9x busy, not >= busy: profiler attribution noise
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 120.0,
+    })
+    assert out["extras"]["value_basis"] == "ingraph_wall_bf16"
+
+
+def test_busy_fp32_when_no_bf16():
+    out = _run({"n_chips": 1, "device_busy_ms_per_step_fp32": 169.1})
+    assert out["extras"]["value_basis"] == "device_busy_fp32"
+    assert out["value"] == round(BATCH * 1e3 / 169.1, 3)
+
+
+def test_ingraph_without_cross_check_is_flagged():
+    out = _run({"n_chips": 1, "ingraph_wall_ms_per_step_bf16": 130.0})
+    assert "no device-busy cross-check" in out["extras"]["value_basis"]
+
+
+def test_wall_clock_last_resort():
+    out = _run({"n_chips": 1, "wall_ms_per_step_fp32": 200.0})
+    assert out["extras"]["value_basis"].startswith("wall_clock")
+
+
+def test_nothing_measured_returns_null_value():
+    out = _run({"n_chips": 1}, leg_errors={"train": "timeout after 1800s"})
+    assert out["value"] is None
+    assert out["vs_baseline"] is None
+    assert out["extras"]["leg_errors"]["train"].startswith("timeout")
+
+
+def test_serving_wall_reliability_flag():
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 127.0,
+        "serving_wall_ms_per_batch_bf16": 5.0,
+        "serving_busy_ms_per_batch_bf16": 37.2,
+    })
+    assert out["extras"]["serving_wall_reliable"] is False
+    assert out["extras"]["serving_imgs_per_sec_bf16"] == round(
+        BATCH * 1e3 / 37.2, 1
+    )
+
+
+def test_n_chips_divides_throughput_and_baseline_ratio():
+    out = _run(
+        {"n_chips": 4, "device_busy_ms_per_step_bf16": 126.0},
+        baseline=10.0,
+    )
+    per_chip = BATCH * 1e3 / 126.0 / 4
+    assert out["value"] == round(per_chip, 3)
+    assert out["vs_baseline"] == round(per_chip / 10.0, 3)
+
+
+def test_mfu_extra():
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 127.0,
+        "flops_per_step": 14.8e12,
+    })
+    assert out["extras"]["mfu_bf16"] == round(
+        14.8e12 / 0.126 / 197e12, 4
+    )
