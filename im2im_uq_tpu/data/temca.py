@@ -133,8 +133,8 @@ class TEMCADataset:
                     # (device_preprocess_pair): ship the patch bytes once
                     # as input AND target — normalize + strided downsample
                     # + nearest upsample all run inside the train-step XLA
-                    # program, and the host ships 1 byte/pixel instead of
-                    # 8 (two float32 images). The ops/mri_pipeline.py
+                    # program, and the host ships 2 uint8 bytes/pixel instead of
+                    # 8 (two float32 images — 4× less). The ops/mri_pipeline.py
                     # pattern applied to the TEMCA stream.
                     raw = patch[..., None]
                     yield raw, raw
@@ -169,8 +169,8 @@ class TEMCADataset:
         (low_up[i,j] = gt[d0·⌊i·h_low/ph⌋, d1·⌊j·w_low/pw⌋]), so the device
         cost is a single elementwise pass + gather; the host cost drops to
         PNG decode + patch slicing (the C++ native/patchops.cpp loop), and
-        host→device traffic drops 8× (1 uint8 byte/pixel vs two float32
-        images). Semantics match the host path (nearest_upsample + the
+        host→device traffic drops 4× (the uint8 patch rides as input AND
+        target, 2 bytes/pixel, vs two float32 images). Semantics match the host path (nearest_upsample + the
         '01'/'-11' normalizations above): the resample indices are exact,
         the normalization agrees to 1 ulp (XLA strength-reduces /255 to a
         reciprocal multiply) — test-pinned in tests/test_temca_device.py.
