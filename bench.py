@@ -204,6 +204,52 @@ def leg_ingraph() -> dict:
         lts = replicate_tree(mesh, lts)
         lts, l = loop(lts, xd, yd, md)  # compile + warmup
         jax.block_until_ready(l)
+        if tag == "bf16":
+            # Self-contained device-busy cross-check + FLOP count: round 4's
+            # 07:11 run produced a 355k imgs/s "headline" because the train
+            # leg (the only busy source) timed out and the memoized 0.09 ms
+            # wall had nothing to be checked against. The ingraph leg now
+            # carries its own profiler trace so the cross-check never
+            # depends on another leg surviving. Traced BEFORE the wall
+            # iterations, with a drain sleep on each side: this tunnel's
+            # block_until_ready can ack early, so (a) prior dispatches may
+            # still be executing when the trace opens (the first attempt
+            # measured 251.7 ms/step = exactly the 2 queued loop dispatches'
+            # busy), and (b) the traced dispatch may outlive its own ack.
+            try:
+                from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+
+                settle = 3.0 * TRAIN_STEPS * 0.2  # ≥2x the ~126 ms/step loop
+                time.sleep(settle)  # drain early-acked work off the device
+                with tempfile.TemporaryDirectory() as td:
+                    with jax.profiler.trace(td):
+                        lts, l = loop(lts, xd, yd, md)
+                        jax.block_until_ready(l)
+                        time.sleep(settle)  # early ack must not truncate
+                    bd = device_busy_breakdown(td, steps=TRAIN_STEPS)
+                if bd:
+                    out["ingraph_busy_ms_per_step_bf16"] = round(
+                        bd["total_ms"], 2
+                    )
+                else:
+                    out["ingraph_busy_error"] = "trace produced no device lanes"
+            except Exception as e:
+                out["ingraph_busy_error"] = f"{type(e).__name__}: {e}"
+            try:
+                # XLA's cost model counts the while-loop body ONCE (measured:
+                # 14.8e12 for the K=20 loop = one train step), so dividing by
+                # K understates per-step FLOPs up to K-fold. That makes it a
+                # valid LOWER bound for the physical wall floor regardless of
+                # whether a future XLA multiplies by trip count — but never
+                # an MFU numerator.
+                ca = loop.lower(lts, xd, yd, md).compile().cost_analysis()
+                ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
+                if ca0 and ca0.get("flops"):
+                    out["flops_per_step_ingraph_lb"] = (
+                        float(ca0["flops"]) / TRAIN_STEPS
+                    )
+            except Exception:
+                pass
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -474,6 +520,9 @@ def main() -> None:
         sys.exit(1)
 
 
+PEAK_BF16_FLOPS_PER_CHIP = 197e12  # v5e MXU peak; MFU > 1 is impossible
+
+
 def compute_headline(extras: dict, leg_errors: dict,
                      baseline: float | None = None) -> dict:
     """Pick the headline imgs/s/chip and its basis from the leg results.
@@ -483,10 +532,24 @@ def compute_headline(extras: dict, leg_errors: dict,
     are unit-testable (tests/test_bench_headline.py)."""
     n_chips = extras.pop("n_chips", 1)
     extras["n_chips"] = n_chips
-    busy16 = extras.get("device_busy_ms_per_step_bf16")
+    busy16_train = extras.get("device_busy_ms_per_step_bf16")
+    busy16_ig = extras.get("ingraph_busy_ms_per_step_bf16")
+    busy16 = busy16_train or busy16_ig
     busy32 = extras.get("device_busy_ms_per_step_fp32")
     ingraph16 = extras.get("ingraph_wall_ms_per_step_bf16")
     wall32 = extras.get("wall_ms_per_step_fp32")
+
+    # Physical floor: a per-step wall below FLOPs/peak would mean MFU > 1.
+    # This is the backstop for the round-4 07:11 failure mode, where the
+    # train leg (then the only busy source) timed out and a memoized
+    # 0.09 ms "wall" sailed through with nothing to be checked against.
+    flops_ig = extras.get("flops_per_step_ingraph_lb") or extras.get("flops_per_step")
+
+    def physically_possible(wall_ms, flops) -> bool | None:
+        """None = no FLOP count to judge by; else wall >= FLOPs/peak."""
+        if not flops:
+            return None
+        return wall_ms >= flops / (PEAK_BF16_FLOPS_PER_CHIP * n_chips) * 1e3
 
     # Headline = measured wall of the in-graph K-step loop (one dispatch,
     # device-resident batch) on the production (bf16) train step — but ONLY
@@ -496,28 +559,48 @@ def compute_headline(extras: dict, leg_errors: dict,
     # dispatches (measured round 4: 0.09 ms/step "wall" vs 126.0 ms busy for
     # the same program; round 3's STATUS saw the same on fp32 microbenches).
     # An implausible wall falls back to device-busy, the load-independent
-    # metric.
+    # metric. The ingraph leg carries its own profiler busy number, so the
+    # cross-check no longer depends on the train leg surviving.
     ingraph_valid = bool(ingraph16 and busy16 and ingraph16 >= 0.9 * busy16)
     if ingraph16 and busy16:
         extras["ingraph_wall_reliable"] = ingraph_valid
+    ingraph_physical = (
+        physically_possible(ingraph16, flops_ig) if ingraph16 else None
+    )
+    if ingraph_physical is not None:
+        extras["ingraph_wall_physical"] = ingraph_physical
     serve_wall = extras.get("serving_wall_ms_per_batch_bf16")
     serve_busy_chk = extras.get("serving_busy_ms_per_batch_bf16")
     if serve_wall and serve_busy_chk:
         extras["serving_wall_reliable"] = serve_wall >= 0.9 * serve_busy_chk
-    if ingraph_valid:
+    if ingraph_valid and ingraph_physical is not False:
         imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
         basis = "ingraph_wall_bf16"
     elif busy16 or busy32:
         b = busy16 or busy32
         imgs_per_sec = BATCH * 1e3 / b / n_chips
-        basis = "device_busy_bf16" if busy16 else "device_busy_fp32"
-    elif ingraph16:
+        if busy16_train:
+            basis = "device_busy_bf16"
+        elif busy16_ig:
+            basis = "device_busy_bf16 (ingraph trace)"
+        else:
+            basis = "device_busy_fp32"
+    elif ingraph16 and ingraph_physical is not False:
         imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
         basis = "ingraph_wall_bf16 (no device-busy cross-check available)"
-    elif wall32:
+    elif wall32 and physically_possible(
+        wall32, extras.get("flops_per_step")
+    ) is not False:
         imgs_per_sec = BATCH / (wall32 / 1e3) / n_chips
         basis = "wall_clock (no profiler trace available)"
     else:
+        if ingraph16 or wall32:
+            leg_errors = dict(
+                leg_errors,
+                headline="all wall measurements are physically impossible "
+                         "(below the FLOPs/peak floor — memoized dispatch) "
+                         "and no device-busy trace survived",
+            )
         return {
             "metric": "unet_train_imgs_per_sec_per_chip",
             "value": None,
@@ -535,9 +618,13 @@ def compute_headline(extras: dict, leg_errors: dict,
         extras["wall_clock_reliable"] = wall32 >= busy32
     if busy32:
         extras["device_busy_imgs_per_sec_fp32"] = round(BATCH * 1e3 / busy32, 1)
+    # MFU only from the train leg's pair: the ingraph FLOP count is a
+    # K-fold lower bound (while-body counted once), unusable as a numerator
     flops = extras.get("flops_per_step")
-    if busy16 and flops:
-        extras["mfu_bf16"] = round(flops / (busy16 / 1e3) / 197e12, 4)
+    if busy16_train and flops:
+        extras["mfu_bf16"] = round(
+            flops / (busy16_train / 1e3) / PEAK_BF16_FLOPS_PER_CHIP, 4
+        )
     serve_busy = extras.get("serving_busy_ms_per_batch_bf16")
     if serve_busy:
         extras["serving_imgs_per_sec_bf16"] = round(BATCH * 1e3 / serve_busy, 1)

@@ -71,11 +71,17 @@ def time_fn(
 
 
 def _tpu_op_durations(trace_dir: str):
-    """Summed per-op TPU-lane durations (µs) from a jax.profiler trace dir.
+    """Summed per-op TPU-lane SELF durations (µs) from a jax.profiler trace.
 
-    Skips the jit_* container rows (they double-count children) and bare
-    step-number rows. Returns a Counter {op_name: µs} or None if no trace
-    file was produced.
+    Skips the jit_* container rows (XLA Modules lane) and bare step-number
+    rows (Steps lane). Within each remaining lane, Chrome-format X events
+    nest (a ``while`` op's event SPANS its body ops' events — summing raw
+    durations double-counts: measured 251.7 "ms/step" vs 125.9 true on the
+    K-step lax.scan train loop), so each op is charged its self time:
+    duration minus its direct children. For flat traces (no control-flow
+    containers) self time == duration, so every existing flat-program
+    benchmark is unchanged. Returns a Counter {op_name: µs} or None if no
+    trace file was produced.
     """
     import collections
     import glob
@@ -94,7 +100,7 @@ def _tpu_op_durations(trace_dir: str):
         for e in ev
         if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
     }
-    ops = collections.Counter()
+    by_thread = collections.defaultdict(list)
     for e in ev:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -103,7 +109,23 @@ def _tpu_op_durations(trace_dir: str):
         n = e["name"]
         if n.startswith("jit_") or re.fullmatch(r"\d+", n):
             continue
-        ops[n] += e["dur"]
+        by_thread[(e["pid"], e.get("tid"))].append(
+            (float(e["ts"]), float(e["dur"]), n)
+        )
+    ops = collections.Counter()
+    for evs in by_thread.values():
+        # start ascending; at equal starts the longer event is the parent
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # [end_ts, name, self_dur] of still-open ancestors
+        for ts, dur, name in evs:
+            while stack and ts >= stack[-1][0] - 1e-6:
+                _, n2, self_dur = stack.pop()
+                ops[n2] += max(self_dur, 0.0)
+            if stack:
+                stack[-1][2] -= dur  # child time leaves the parent's self
+            stack.append([ts + dur, name, dur])
+        for _, n2, self_dur in stack:
+            ops[n2] += max(self_dur, 0.0)
     return ops
 
 

@@ -67,6 +67,79 @@ def test_ingraph_without_cross_check_is_flagged():
     assert "no device-busy cross-check" in out["extras"]["value_basis"]
 
 
+def test_ingraph_self_busy_cross_checks_without_train_leg():
+    # round-4 07:11 failure mode, now with the ingraph leg's own trace:
+    # the memoized 0.09 ms wall is caught even when the train leg died
+    out = _run({
+        "n_chips": 1,
+        "ingraph_wall_ms_per_step_bf16": 0.09,
+        "ingraph_busy_ms_per_step_bf16": 126.0,
+    }, leg_errors={"train": "timeout after 1800s"})
+    assert out["extras"]["value_basis"] == "device_busy_bf16 (ingraph trace)"
+    assert out["value"] == round(BATCH * 1e3 / 126.0, 3)
+    assert out["extras"]["ingraph_wall_reliable"] is False
+
+
+def test_flops_floor_rejects_memoized_wall_with_no_busy_at_all():
+    # worst case: every profiler trace died too. 0.09 ms/step at 14.8
+    # TFLOP/step would be ~164 PFLOP/s on one chip — physically impossible,
+    # so the headline must be null rather than 355k imgs/s.
+    out = _run({
+        "n_chips": 1,
+        "ingraph_wall_ms_per_step_bf16": 0.09,
+        "flops_per_step_ingraph_lb": 14.8e12,
+    })
+    assert out["value"] is None
+    assert "physically impossible" in out["extras"]["leg_errors"]["headline"]
+    assert out["extras"]["ingraph_wall_physical"] is False
+
+
+def test_flops_floor_catches_memoized_wall_even_at_k_fold_lower_bound():
+    # XLA counts the while body once, so the ingraph FLOP count can be
+    # TRAIN_STEPS-fold low (measured: 0.74e12 vs 14.8e12 true). Even that
+    # floor (3.8 ms) catches the sub-0.1 ms memoized acks.
+    out = _run({
+        "n_chips": 1,
+        "ingraph_wall_ms_per_step_bf16": 0.09,
+        "flops_per_step_ingraph_lb": 0.741e12,
+    })
+    assert out["value"] is None
+    assert out["extras"]["ingraph_wall_physical"] is False
+
+
+def test_flops_floor_passes_honest_uncross_checked_wall():
+    out = _run({
+        "n_chips": 1,
+        "ingraph_wall_ms_per_step_bf16": 130.0,
+        "flops_per_step_ingraph_lb": 14.8e12,
+    })
+    assert "no device-busy cross-check" in out["extras"]["value_basis"]
+    assert out["extras"]["ingraph_wall_physical"] is True
+    assert out["value"] == round(BATCH * 1e3 / 130.0, 3)
+
+
+def test_flops_floor_rejects_memoized_fp32_wall():
+    out = _run({
+        "n_chips": 1,
+        "wall_ms_per_step_fp32": 0.05,
+        "flops_per_step": 14.8e12,
+    })
+    assert out["value"] is None
+
+
+def test_no_mfu_from_ingraph_flops_lower_bound():
+    # the ingraph FLOP count is a K-fold lower bound — valid floor, but an
+    # MFU computed from it would be nonsense, so none must be reported
+    out = _run({
+        "n_chips": 1,
+        "ingraph_wall_ms_per_step_bf16": 127.0,
+        "ingraph_busy_ms_per_step_bf16": 126.0,
+        "flops_per_step_ingraph_lb": 0.741e12,
+    })
+    assert out["extras"]["value_basis"] == "ingraph_wall_bf16"
+    assert "mfu_bf16" not in out["extras"]
+
+
 def test_wall_clock_last_resort():
     out = _run({"n_chips": 1, "wall_ms_per_step_fp32": 200.0})
     assert out["extras"]["value_basis"].startswith("wall_clock")

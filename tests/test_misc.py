@@ -142,8 +142,8 @@ def test_device_busy_breakdown_parses_trace(tmp_path):
         {"ph": "M", "pid": 1, "name": "process_name", "args": {"name": "/device:TPU:0"}},
         {"ph": "M", "pid": 2, "name": "process_name", "args": {"name": "/host:CPU"}},
         {"ph": "X", "pid": 1, "name": "convolution.1", "dur": 3000, "ts": 0},
-        {"ph": "X", "pid": 1, "name": "fusion.7", "dur": 1500, "ts": 0},
-        {"ph": "X", "pid": 1, "name": "while.2", "dur": 500, "ts": 0},
+        {"ph": "X", "pid": 1, "name": "fusion.7", "dur": 1500, "ts": 3000},
+        {"ph": "X", "pid": 1, "name": "while.2", "dur": 500, "ts": 4500},
         {"ph": "X", "pid": 1, "name": "jit_train_step(123)", "dur": 9999, "ts": 0},
         {"ph": "X", "pid": 2, "name": "hostwork", "dur": 77777, "ts": 0},
     ]
@@ -154,3 +154,37 @@ def test_device_busy_breakdown_parses_trace(tmp_path):
     assert b["categories"]["convolution"] == 3.0
     assert b["categories"]["while/dynamic-slice"] == 0.5
     assert device_busy_breakdown(str(tmp_path / "nothing")) is None
+
+
+def test_device_busy_charges_containers_their_self_time(tmp_path):
+    """A lax.scan train loop's ``while`` event SPANS its body ops on the
+    same lane — summing raw durations double-counts (measured on the TPU:
+    251.7 "ms/step" vs 125.9 true for the K=20 loop). Each op must be
+    charged only its self time: duration minus direct children."""
+    import gzip
+    import json as _json
+
+    from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        # while container: 0..10000, self time = 10000 - 9000 = 1000
+        {"ph": "X", "pid": 1, "tid": 3, "name": "while.5", "dur": 10000, "ts": 0},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "convolution.9", "dur": 6000, "ts": 200},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.11", "dur": 3000, "ts": 6500},
+        # a flat op after the loop on the same lane
+        {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.12", "dur": 2000, "ts": 10000},
+        # redundant container lanes (different tids) are excluded by name
+        {"ph": "X", "pid": 1, "tid": 1, "name": "jit_loop(1)", "dur": 12000, "ts": 0},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "7", "dur": 12000, "ts": 0},
+    ]
+    with gzip.open(d / "x.trace.json.gz", "wt") as fh:
+        _json.dump({"traceEvents": events}, fh)
+    b = device_busy_breakdown(str(tmp_path), steps=1)
+    # 1 (while self) + 6 (conv) + 3 + 2 (fusions) = 12 ms, NOT 10+9+2=21
+    assert b["total_ms"] == 12.0
+    assert b["categories"]["convolution"] == 6.0
+    assert b["categories"]["while/dynamic-slice"] == 1.0
+    assert b["categories"]["fusion"] == 5.0
