@@ -186,13 +186,21 @@ class ProcessPoolFetcher:
         return self._pool.map(_worker_get, list(indices))
 
     def close(self) -> None:
-        # workers ignore SIGTERM (see _worker_init), so terminate() degrades
-        # to the sentinel-drain path; a worker stuck inside __getitem__
-        # (hung NFS/HDF5 read) would block join() forever — escalate to
-        # SIGKILL for any worker still alive after a bounded wait
-        self._pool.terminate()
-        deadline = time.monotonic() + 10.0
+        # Workers ignore SIGTERM (see _worker_init), and that breaks
+        # Pool.terminate()'s contract: _terminate_pool abandons the inqueue
+        # read lock (_help_stuff_finish acquires and never releases it) and
+        # then relies on SIGTERM to kill any worker that can no longer read
+        # its exit sentinel — with SIGTERM ignored, its final unbounded
+        # p.join() deadlocks. Seen live under CPU throttle (round 4): one
+        # worker exited on its sentinel, the other futex-blocked on the
+        # abandoned rlock forever, parent stuck in waitpid. So shut down
+        # WITHOUT Pool.terminate(): graceful close() (one sentinel per
+        # worker, no lock games), bounded join, SIGKILL escalation for a
+        # worker still alive after the deadline (stuck __getitem__ — hung
+        # NFS/HDF5 read), then reap the pool machinery.
         procs = list(getattr(self._pool, "_pool", []))
+        self._pool.close()
+        deadline = time.monotonic() + 10.0
         for p in procs:
             p.join(max(0.0, deadline - time.monotonic()))
         for p in procs:
