@@ -112,7 +112,11 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
 
     Distinguishes "profiler unavailable" (returns the error string) from a
     healthy run — a dead backend surfaces as an error, never as a silent
-    None (VERDICT r3 #3)."""
+    None (VERDICT r3 #3). Drain-sleeps before the trace and settle-sleeps
+    inside it: this tunnel's block_until_ready can ack early (measured
+    round 4, see leg_ingraph), so a caller's just-"finished" wall loop may
+    still be executing when the trace opens — inflating busy — and the
+    traced dispatches may outlive their own ack — truncating it."""
     import jax
     import jax.numpy as jnp
 
@@ -122,11 +126,13 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
         # the train step donates its state argument — run on a private copy
         # so the caller's buffers survive
         ts = jax.tree.map(lambda a: jnp.array(a, copy=True), ts)
+        time.sleep(8.0)  # drain early-acked prior dispatches off the device
         with tempfile.TemporaryDirectory() as td:
             with jax.profiler.trace(td):
                 for _ in range(steps):
                     ts, loss = step(ts, x, y, mask)
                 jax.block_until_ready(loss)
+                time.sleep(max(4.0, 0.4 * steps))  # early ack must not truncate
             breakdown = device_busy_breakdown(td, steps=steps)
         if not breakdown:
             return None, "profiler trace produced no device lanes"
@@ -285,14 +291,20 @@ def leg_serving() -> dict:
     out["serving_wall_ms_per_batch_bf16"] = round(
         (time.perf_counter() - t0) / TRAIN_STEPS * 1e3, 2
     )
+    time.sleep(8.0)  # drain early-acked wall-loop dispatches (see _device_busy_ms)
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             for _ in range(3):
                 lo, _, hi = eval16.nested_sets(xj, lam=1.0)
             jax.block_until_ready(lo)
+            time.sleep(4.0)  # early ack must not truncate the trace
         bd = device_busy_breakdown(td, steps=3)
     if bd:
         out["serving_busy_ms_per_batch_bf16"] = round(bd["total_ms"], 2)
+    else:
+        # no silent None (VERDICT r3 #3): a vanished serving busy must be
+        # distinguishable from "never measured"
+        out["serving_busy_error"] = "trace produced no device lanes"
     return out
 
 
@@ -379,9 +391,13 @@ def leg_duty() -> dict:
         state16.model, head_loss_pe_fn("quantiles"), bf16_cfg, tx, mesh,
         preprocess=ds.device_preprocess((IMAGE, IMAGE)),
     )
-    # warmup/compile outside the window
-    it = iterate_batches(ds, BATCH, shuffle=False)
-    xb, yb, mb = next(iter(it))
+    # warmup/compile outside the window; CLOSE the warmup generator so its
+    # background producer thread stops prefetching — an abandoned generator
+    # would keep doing host-transform work into the measured epoch window,
+    # biasing exactly the host-stall share this leg quantifies
+    warm = iterate_batches(ds, BATCH, shuffle=False)
+    xb, yb, mb = next(warm)
+    warm.close()
     ts16, loss = step(ts16, *put_batch(mesh, xb, yb, mb))
     jax.block_until_ready(loss)
     busy_ms, busy_err = _device_busy_ms(step, ts16, xb, yb, mb)
@@ -543,7 +559,12 @@ def compute_headline(extras: dict, leg_errors: dict,
     # This is the backstop for the round-4 07:11 failure mode, where the
     # train leg (then the only busy source) timed out and a memoized
     # 0.09 ms "wall" sailed through with nothing to be checked against.
-    flops_ig = extras.get("flops_per_step_ingraph_lb") or extras.get("flops_per_step")
+    # Take the MAX of the available FLOP counts: the ingraph number is a
+    # K-fold lower bound (while body counted once), so when the train
+    # leg's accurate count survived it gives the tighter floor.
+    flops_train = extras.get("flops_per_step")
+    _floors = [f for f in (extras.get("flops_per_step_ingraph_lb"), flops_train) if f]
+    flops_ig = max(_floors) if _floors else None
 
     def physically_possible(wall_ms, flops) -> bool | None:
         """None = no FLOP count to judge by; else wall >= FLOPs/peak."""
@@ -576,15 +597,21 @@ def compute_headline(extras: dict, leg_errors: dict,
     if ingraph_valid and ingraph_physical is not False:
         imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
         basis = "ingraph_wall_bf16"
-    elif busy16 or busy32:
-        b = busy16 or busy32
-        imgs_per_sec = BATCH * 1e3 / b / n_chips
-        if busy16_train:
-            basis = "device_busy_bf16"
-        elif busy16_ig:
-            basis = "device_busy_bf16 (ingraph trace)"
-        else:
-            basis = "device_busy_fp32"
+    elif busy16:
+        imgs_per_sec = BATCH * 1e3 / busy16 / n_chips
+        basis = ("device_busy_bf16" if busy16_train
+                 else "device_busy_bf16 (ingraph trace)")
+    elif ingraph16 and flops_train and ingraph_physical:
+        # No bf16 busy survived, but the train leg's ACCURATE FLOP count
+        # did and the bf16 wall clears that tight floor — an honest bf16
+        # wall must not be discarded for the slower fp32 busy number.
+        # (The weak K-fold-low ingraph floor alone is NOT enough here: a
+        # partially-memoized wall could clear it; then fp32 busy wins.)
+        imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
+        basis = "ingraph_wall_bf16 (bf16 busy unavailable; FLOPs-floor checked)"
+    elif busy32:
+        imgs_per_sec = BATCH * 1e3 / busy32 / n_chips
+        basis = "device_busy_fp32"
     elif ingraph16 and ingraph_physical is not False:
         imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
         basis = "ingraph_wall_bf16 (no device-busy cross-check available)"

@@ -107,6 +107,11 @@ class TEMCADataset:
                     self.patch_buffer.append(patch)
 
     def _fill_buffer(self) -> None:
+        # Tail-wrap quirk preserved from the reference (TEMCADataset.py:48-51):
+        # when buffer_size does not divide the path count, the final fill sets
+        # end = len - img_index (not len), so the slice is empty, the cursor
+        # wraps, and one "epoch" re-extracts most tiles a second time before
+        # terminating. Kept bit-for-bit for epoch-accounting parity.
         if self.img_index + self.buffer_size > len(self.img_paths):
             if len(self.img_paths) - self.img_index > 0:
                 end = len(self.img_paths) - self.img_index

@@ -289,9 +289,12 @@ def main(argv: Optional[list[str]] = None) -> int:
                 f"λ̂={state.lhat} — re-export to change λ"
             )
         lam = state.lhat
-        if "--batch-size" in (argv if argv is not None else sys.argv[1:]) and (
-            args.batch_size != state.batch_size
-        ):
+        # argparse accepts --batch-size N, --batch-size=N, and unambiguous
+        # abbreviations (--batch=N) — detect them all, not just the exact
+        # space-separated token
+        _argv = argv if argv is not None else sys.argv[1:]
+        _bs_passed = any(a.startswith("--batch") for a in _argv)
+        if _bs_passed and args.batch_size != state.batch_size:
             print(
                 f"warning: --batch-size {args.batch_size} ignored — the "
                 f"artifact's program has a fixed batch shape of "

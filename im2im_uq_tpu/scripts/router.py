@@ -195,7 +195,6 @@ def run_experiment(config: dict, mesh=None) -> Optional[dict]:
             raw_attr = "return_raw"
             raw_targets = [d for d in (train_ds, val_ds)
                            if hasattr(d, "return_raw")]
-    use_device_transform = raw_attr is not None
 
     def _image_mode():
         for d in raw_targets:

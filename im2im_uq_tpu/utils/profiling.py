@@ -70,8 +70,14 @@ def time_fn(
     }
 
 
-def _tpu_op_durations(trace_dir: str):
+def _tpu_op_durations(trace_dir: str, per_chip: bool = False):
     """Summed per-op TPU-lane SELF durations (µs) from a jax.profiler trace.
+
+    With ``per_chip=True``, divides every value by the number of distinct
+    TPU device lanes (pids) that contributed events — the per-chip MEAN.
+    A multi-chip trace has one lane per device, so the raw sum is
+    aggregate chip-time across the mesh; throughput math that divides by
+    n_chips needs the per-chip figure or it undercounts n-fold.
 
     Skips the jit_* container rows (XLA Modules lane) and bare step-number
     rows (Steps lane). Within each remaining lane, Chrome-format X events
@@ -126,6 +132,11 @@ def _tpu_op_durations(trace_dir: str):
             stack.append([ts + dur, name, dur])
         for _, n2, self_dur in stack:
             ops[n2] += max(self_dur, 0.0)
+    if per_chip:
+        n_pids = len({pid for (pid, _tid) in by_thread})
+        if n_pids > 1:
+            for k in ops:
+                ops[k] /= n_pids
     return ops
 
 
@@ -135,11 +146,15 @@ def device_busy_breakdown(trace_dir: str, steps: int = 1) -> Optional[dict]:
     Buckets op durations: convolution, reduction, while/dynamic-slice (the
     serialized-scatter signature), maxpool-bwd, gather, copy, fusion, other.
     Returns {'total_ms', 'categories': {...}} or None if no trace found.
+    ``total_ms`` is the PER-CHIP mean — a multi-chip trace has one lane per
+    device, and bench.py's imgs/sec/chip math divides by n_chips, which
+    needs the per-chip figure (the raw cross-mesh sum would undercount
+    throughput n-fold).
     """
     import collections
     import re
 
-    ops = _tpu_op_durations(trace_dir)
+    ops = _tpu_op_durations(trace_dir, per_chip=True)
     if ops is None:
         return None
     cat = collections.Counter()

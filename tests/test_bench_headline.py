@@ -118,6 +118,47 @@ def test_flops_floor_passes_honest_uncross_checked_wall():
     assert out["value"] == round(BATCH * 1e3 / 130.0, 3)
 
 
+def test_honest_bf16_wall_beats_fp32_busy_when_strong_floor_passes():
+    # both bf16 busy traces died but the train leg's accurate FLOP count
+    # survived: an honest bf16 wall clearing that tight floor must not be
+    # discarded for the slower fp32 busy number
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_fp32": 169.1,
+        "ingraph_wall_ms_per_step_bf16": 127.4,
+        "flops_per_step": 14.8e12,
+    })
+    assert out["extras"]["value_basis"].startswith("ingraph_wall_bf16")
+    assert out["value"] == round(BATCH * 1e3 / 127.4, 3)
+
+
+def test_partially_memoized_wall_loses_to_fp32_busy_with_weak_floor_only():
+    # only the K-fold-low ingraph FLOP bound exists (floor 3.8 ms): a
+    # 10 ms partially-memoized wall clears it, so it must NOT outrank the
+    # measured fp32 busy
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_fp32": 169.1,
+        "ingraph_wall_ms_per_step_bf16": 10.0,
+        "flops_per_step_ingraph_lb": 0.741e12,
+    })
+    assert out["extras"]["value_basis"] == "device_busy_fp32"
+
+
+def test_floor_uses_tightest_available_flop_count():
+    # max(lb, train) — with the accurate 14.8e12 present, a 10 ms wall is
+    # below the 75 ms floor and the headline must be null, even though the
+    # weak lb floor alone would have passed it
+    out = _run({
+        "n_chips": 1,
+        "ingraph_wall_ms_per_step_bf16": 10.0,
+        "flops_per_step_ingraph_lb": 0.741e12,
+        "flops_per_step": 14.8e12,
+    })
+    assert out["value"] is None
+    assert out["extras"]["ingraph_wall_physical"] is False
+
+
 def test_flops_floor_rejects_memoized_fp32_wall():
     out = _run({
         "n_chips": 1,

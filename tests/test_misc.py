@@ -188,3 +188,30 @@ def test_device_busy_charges_containers_their_self_time(tmp_path):
     assert b["categories"]["convolution"] == 6.0
     assert b["categories"]["while/dynamic-slice"] == 1.0
     assert b["categories"]["fusion"] == 5.0
+
+
+def test_device_busy_is_per_chip_mean_on_multichip_traces(tmp_path):
+    """A multi-chip trace has one lane per device; bench.py divides the
+    busy-derived throughput by n_chips, so the breakdown must report the
+    per-chip MEAN, not the cross-mesh sum (which would undercount
+    imgs/sec/chip n-fold)."""
+    import gzip
+    import json as _json
+
+    from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 2, "name": "process_name", "args": {"name": "/device:TPU:1"}},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "convolution.1", "dur": 4000, "ts": 0},
+        {"ph": "X", "pid": 2, "tid": 3, "name": "convolution.1", "dur": 4000, "ts": 0},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.2", "dur": 2000, "ts": 4000},
+        {"ph": "X", "pid": 2, "tid": 3, "name": "fusion.2", "dur": 2000, "ts": 4000},
+    ]
+    with gzip.open(d / "x.trace.json.gz", "wt") as fh:
+        _json.dump({"traceEvents": events}, fh)
+    b = device_busy_breakdown(str(tmp_path), steps=1)
+    assert b["total_ms"] == 6.0  # per-chip mean, not the 12 ms mesh sum
+    assert b["categories"]["convolution"] == 4.0
