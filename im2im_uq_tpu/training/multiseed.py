@@ -34,10 +34,12 @@ def init_multiseed_states(
 ) -> TrainState:
     """TrainState with a leading seed axis: params[s] initialized from seed s."""
 
+    # one jit object for all seeds: a fresh lambda per seed would re-trace
+    # (and re-lower) the full model init S times for identical shapes
+    init_fn = jax.jit(lambda r, x: uq_state.model.init(r, x, train=False))
+
     def init_one(seed):
-        variables = jax.jit(
-            lambda r, x: uq_state.model.init(r, x, train=False)
-        )(jax.random.key(seed), example_input)
+        variables = init_fn(jax.random.key(seed), example_input)
         return TrainState(
             params=variables["params"],
             batch_stats=variables["batch_stats"],
@@ -50,13 +52,22 @@ def init_multiseed_states(
 
 
 def make_multiseed_train_step(uq_state: UQState, tx, mesh: Mesh) -> Callable:
-    """vmapped train step over the seed axis.
+    """Per-seed train step, seed axis sharded over the mesh via shard_map.
 
-    Shard the stacked state with ``shard_multiseed_state`` first; GSPMD
-    propagates the seed-axis sharding through the whole step (each chip
-    updates its own replicas, zero collectives). Batch data is replicated —
-    every replica sees the same batch; for per-seed batches add a leading S
-    axis and change in_axes.
+    Shard the stacked state with ``shard_multiseed_state`` first. Each chip
+    runs the PLAIN single-model train step on its own seed shard (a
+    ``lax.scan`` over local seeds when S > n_devices), with zero cross-chip
+    communication. Batch data is replicated — every replica sees the same
+    batch. S must divide evenly over the mesh's data axis.
+
+    Round 5 replaced the original ``vmap``-over-stacked-params design:
+    vmapping convolutions over a per-seed kernel axis lowers them to
+    batched-kernel (grouped) convolutions, which hit slow fallback kernels
+    (measured: the vmapped step executed ~25x slower per pixel than the
+    plain step on the CPU mesh, and batched-kernel convs are off the fast
+    conv path on TPU too). shard_map keeps every conv in its standard
+    layout; per-replica numerics now match the solo train step exactly by
+    construction.
     """
     model = uq_state.model
     loss_pe = head_loss_pe_fn(uq_state.uncertainty_type)
@@ -84,8 +95,22 @@ def make_multiseed_train_step(uq_state: UQState, tx, mesh: Mesh) -> Callable:
             loss,
         )
 
-    vstep = jax.vmap(train_step, in_axes=(0, None, None, None), out_axes=(0, 0))
-    return jax.jit(vstep, donate_argnums=0)
+    def local_seeds_step(states: TrainState, x, y, mask):
+        # states: the local shard, leading axis = seeds on this device
+        def body(carry, st):
+            new_st, loss = train_step(st, x, y, mask)
+            return carry, (new_st, loss)
+
+        _, (new_states, losses) = jax.lax.scan(body, 0, states)
+        return new_states, losses
+
+    sharded = jax.shard_map(
+        local_seeds_step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    return jax.jit(sharded, donate_argnums=0)
 
 
 def shard_multiseed_state(states: TrainState, mesh: Mesh) -> TrainState:
