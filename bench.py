@@ -107,7 +107,8 @@ def _build(config):
     return mesh, state, ts, tx, step, x, y, mask
 
 
-def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
+def _device_busy_ms(step, ts, x, y, mask, steps: int = 3,
+                    prior_work_s: float = 0.0):
     """(busy_ms | None, error | None) from a short profiler trace.
 
     Distinguishes "profiler unavailable" (returns the error string) from a
@@ -116,7 +117,13 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
     inside it: this tunnel's block_until_ready can ack early (measured
     round 4, see leg_ingraph), so a caller's just-"finished" wall loop may
     still be executing when the trace opens — inflating busy — and the
-    traced dispatches may outlive their own ack — truncating it."""
+    traced dispatches may outlive their own ack — truncating it.
+
+    ``prior_work_s`` is the caller's measured wall for the work it just
+    dispatched (e.g. its warmup/wall loop). The drain/settle sleeps scale
+    with it rather than assuming the ~126 ms/step flagship model, so a
+    slower config cannot leak early-acked dispatches into the trace window
+    (ADVICE r4 #4); the old constants remain as floors."""
     import jax
     import jax.numpy as jnp
 
@@ -126,13 +133,16 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3):
         # the train step donates its state argument — run on a private copy
         # so the caller's buffers survive
         ts = jax.tree.map(lambda a: jnp.array(a, copy=True), ts)
-        time.sleep(8.0)  # drain early-acked prior dispatches off the device
+        # worst case the caller's entire just-"finished" loop is still queued
+        time.sleep(max(8.0, 1.5 * prior_work_s))
+        per_step_s = prior_work_s / max(TRAIN_STEPS, 1)
         with tempfile.TemporaryDirectory() as td:
             with jax.profiler.trace(td):
                 for _ in range(steps):
                     ts, loss = step(ts, x, y, mask)
                 jax.block_until_ready(loss)
-                time.sleep(max(4.0, 0.4 * steps))  # early ack must not truncate
+                # early ack must not truncate the traced dispatches
+                time.sleep(max(4.0, 0.4 * steps, 3.0 * steps * per_step_s))
             breakdown = device_busy_breakdown(td, steps=steps)
         if not breakdown:
             return None, "profiler trace produced no device lanes"
@@ -156,8 +166,10 @@ def leg_train() -> dict:
             ts, loss = step(ts, x, y, mask)
         jax.block_until_ready(loss)
         wall_dts.append(time.perf_counter() - t0)
-    out["wall_ms_per_step_fp32"] = round(sorted(wall_dts)[1] / TRAIN_STEPS * 1e3, 2)
-    busy32, err32 = _device_busy_ms(step, ts, x, y, mask)
+    loop_wall_s = sorted(wall_dts)[1]
+    out["wall_ms_per_step_fp32"] = round(loop_wall_s / TRAIN_STEPS * 1e3, 2)
+    busy32, err32 = _device_busy_ms(step, ts, x, y, mask,
+                                    prior_work_s=loop_wall_s)
     out["device_busy_ms_per_step_fp32"] = busy32
     if err32:
         out["device_busy_fp32_error"] = err32
@@ -167,7 +179,10 @@ def leg_train() -> dict:
     mesh, state16, ts16, tx, step16, x, y, mask = _build(bf16_cfg)
     ts16, l16 = step16(ts16, x, y, mask)
     jax.block_until_ready(l16)
-    busy16, err16 = _device_busy_ms(step16, ts16, x, y, mask)
+    # prior dispatched work here is the single bf16 warmup step; the fp32
+    # per-step wall is a conservative stand-in for its duration
+    busy16, err16 = _device_busy_ms(step16, ts16, x, y, mask,
+                                    prior_work_s=loop_wall_s / TRAIN_STEPS)
     out["device_busy_ms_per_step_bf16"] = busy16
     if err16:
         out["device_busy_bf16_error"] = err16
@@ -210,6 +225,13 @@ def leg_ingraph() -> dict:
         lts = replicate_tree(mesh, lts)
         lts, l = loop(lts, xd, yd, md)  # compile + warmup
         jax.block_until_ready(l)
+        # measured wall of one loop dispatch, for scaling the drain/settle
+        # sleeps below (ADVICE r4 #4): a slower config must sleep longer.
+        # An early-acked (too-small) wall falls back to the analytic floor.
+        t0 = time.perf_counter()
+        lts, l = loop(lts, xd, yd, md)
+        jax.block_until_ready(l)
+        loop_wall_s = time.perf_counter() - t0
         if tag == "bf16":
             # Self-contained device-busy cross-check + FLOP count: round 4's
             # 07:11 run produced a 355k imgs/s "headline" because the train
@@ -225,7 +247,9 @@ def leg_ingraph() -> dict:
             try:
                 from im2im_uq_tpu.utils.profiling import device_busy_breakdown
 
-                settle = 3.0 * TRAIN_STEPS * 0.2  # ≥2x the ~126 ms/step loop
+                # floor: 3x the ~126 ms/step flagship loop; scaled: 3x the
+                # measured loop wall when the config is slower than that
+                settle = max(3.0 * TRAIN_STEPS * 0.2, 3.0 * loop_wall_s)
                 time.sleep(settle)  # drain early-acked work off the device
                 with tempfile.TemporaryDirectory() as td:
                     with jax.profiler.trace(td):
@@ -288,16 +312,21 @@ def leg_serving() -> dict:
     for _ in range(TRAIN_STEPS):
         lo, _, hi = eval16.nested_sets(xj, lam=1.0)
     jax.block_until_ready(lo)
+    serve_loop_wall_s = time.perf_counter() - t0
     out["serving_wall_ms_per_batch_bf16"] = round(
-        (time.perf_counter() - t0) / TRAIN_STEPS * 1e3, 2
+        serve_loop_wall_s / TRAIN_STEPS * 1e3, 2
     )
-    time.sleep(8.0)  # drain early-acked wall-loop dispatches (see _device_busy_ms)
+    # drain early-acked wall-loop dispatches (see _device_busy_ms); scaled
+    # by the measured loop wall so a slow config sleeps long enough
+    time.sleep(max(8.0, 1.5 * serve_loop_wall_s))
+    batch_wall_s = serve_loop_wall_s / TRAIN_STEPS
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
             for _ in range(3):
                 lo, _, hi = eval16.nested_sets(xj, lam=1.0)
             jax.block_until_ready(lo)
-            time.sleep(4.0)  # early ack must not truncate the trace
+            # early ack must not truncate the trace
+            time.sleep(max(4.0, 3.0 * 3 * batch_wall_s))
         bd = device_busy_breakdown(td, steps=3)
     if bd:
         out["serving_busy_ms_per_batch_bf16"] = round(bd["total_ms"], 2)
@@ -305,6 +334,48 @@ def leg_serving() -> dict:
         # no silent None (VERDICT r3 #3): a vanished serving busy must be
         # distinguishable from "never measured"
         out["serving_busy_error"] = "trace produced no device lanes"
+
+    # In-graph K-batch serving loop (VERDICT r4 #3): one dispatch covers K
+    # forwards on a device-resident batch, so its wall/K is self-checking
+    # against serving busy — the same discipline the training headline got
+    # with make_train_multistep. The carry feeds an output-derived
+    # perturbation back into the next input: a loop-INVARIANT forward would
+    # be hoisted out of the while loop by XLA's LICM pass, leaving K empty
+    # iterations and a bogus wall.
+    try:
+        from jax import lax
+
+        from im2im_uq_tpu.ops import sets as set_ops
+
+        model = eval16.model
+        utype = eval16.uncertainty_type
+        variables = eval16.variables
+        K = TRAIN_STEPS
+
+        @jax.jit
+        def serve_loop(variables, x0):
+            def body(_, x):
+                lo, _, hi = set_ops.nested_sets_from_output(
+                    model.apply(variables, x, train=False),
+                    jnp.float32(1.0), utype,
+                )
+                return x + 1e-6 * (lo + hi).astype(x.dtype)
+
+            return lax.fori_loop(0, K, body, x0)
+
+        xd = jnp.asarray(x)
+        r = serve_loop(variables, xd)  # compile + warmup
+        jax.block_until_ready(r)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = serve_loop(variables, xd)
+            jax.block_until_ready(r)
+            dt = (time.perf_counter() - t0) / K * 1e3
+            best = dt if best is None else min(best, dt)
+        out["serving_ingraph_wall_ms_per_batch_bf16"] = round(best, 2)
+    except Exception as e:
+        out["serving_ingraph_error"] = f"{type(e).__name__}: {e}"
     return out
 
 
@@ -400,7 +471,12 @@ def leg_duty() -> dict:
     warm.close()
     ts16, loss = step(ts16, *put_batch(mesh, xb, yb, mb))
     jax.block_until_ready(loss)
-    busy_ms, busy_err = _device_busy_ms(step, ts16, xb, yb, mb)
+    t0 = time.perf_counter()
+    ts16, loss = step(ts16, *put_batch(mesh, xb, yb, mb))
+    jax.block_until_ready(loss)
+    step_wall_s = time.perf_counter() - t0
+    busy_ms, busy_err = _device_busy_ms(step, ts16, xb, yb, mb,
+                                        prior_work_s=step_wall_s)
     t0 = time.perf_counter()
     steps = 0
     for xb, yb, mb in iterate_batches(ds, BATCH, shuffle=True,
@@ -591,8 +667,14 @@ def compute_headline(extras: dict, leg_errors: dict,
     if ingraph_physical is not None:
         extras["ingraph_wall_physical"] = ingraph_physical
     serve_wall = extras.get("serving_wall_ms_per_batch_bf16")
+    serve_ig = extras.get("serving_ingraph_wall_ms_per_batch_bf16")
     serve_busy_chk = extras.get("serving_busy_ms_per_batch_bf16")
-    if serve_wall and serve_busy_chk:
+    # the in-graph K-batch loop (one dispatch, device-resident batch) is the
+    # self-checking serving wall (VERDICT r4 #3); the per-dispatch wall only
+    # speaks for reliability when no in-graph measurement survived
+    if serve_ig and serve_busy_chk:
+        extras["serving_wall_reliable"] = serve_ig >= 0.9 * serve_busy_chk
+    elif serve_wall and serve_busy_chk:
         extras["serving_wall_reliable"] = serve_wall >= 0.9 * serve_busy_chk
     if ingraph_valid and ingraph_physical is not False:
         imgs_per_sec = BATCH * 1e3 / ingraph16 / n_chips
@@ -653,8 +735,15 @@ def compute_headline(extras: dict, leg_errors: dict,
             flops / (busy16_train / 1e3) / PEAK_BF16_FLOPS_PER_CHIP, 4
         )
     serve_busy = extras.get("serving_busy_ms_per_batch_bf16")
-    if serve_busy:
+    serve_ig2 = extras.get("serving_ingraph_wall_ms_per_batch_bf16")
+    if serve_ig2 and serve_busy and serve_ig2 >= 0.9 * serve_busy:
+        # reliable measured wall (one dispatch, K batches) — the honest
+        # serving throughput, wall-based like the training headline
+        extras["serving_imgs_per_sec_bf16"] = round(BATCH * 1e3 / serve_ig2, 1)
+        extras["serving_value_basis"] = "serving_ingraph_wall_bf16"
+    elif serve_busy:
         extras["serving_imgs_per_sec_bf16"] = round(BATCH * 1e3 / serve_busy, 1)
+        extras["serving_value_basis"] = "serving_busy_bf16"
     if leg_errors:
         extras["leg_errors"] = leg_errors
     extras["baseline_note"] = (

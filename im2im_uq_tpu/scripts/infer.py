@@ -232,7 +232,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     )
     ap.add_argument("--input", required=True, help=".npy/.npz file or directory")
     ap.add_argument("--output", required=True, help="output directory for .npz results")
-    ap.add_argument("--batch-size", type=int, default=32)
+    # sentinel default: `args.batch_size is None` means "not passed", which
+    # is robust to every argparse spelling (--batch-size N, --batch-size=N,
+    # any unambiguous abbreviation) without scanning argv
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="serving batch shape (default 32)")
     ap.add_argument(
         "--lam",
         type=float,
@@ -289,12 +293,7 @@ def main(argv: Optional[list[str]] = None) -> int:
                 f"λ̂={state.lhat} — re-export to change λ"
             )
         lam = state.lhat
-        # argparse accepts --batch-size N, --batch-size=N, and unambiguous
-        # abbreviations (--batch=N) — detect them all, not just the exact
-        # space-separated token
-        _argv = argv if argv is not None else sys.argv[1:]
-        _bs_passed = any(a.startswith("--batch") for a in _argv)
-        if _bs_passed and args.batch_size != state.batch_size:
+        if args.batch_size is not None and args.batch_size != state.batch_size:
             print(
                 f"warning: --batch-size {args.batch_size} ignored — the "
                 f"artifact's program has a fixed batch shape of "
@@ -317,6 +316,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         raise SystemExit(
             "checkpoint has no calibrated λ̂ — pass --lam or calibrate first"
         )
+    if args.batch_size is None:
+        args.batch_size = 32
 
     out_dir = Path(os.path.expanduser(args.output))
     out_dir.mkdir(parents=True, exist_ok=True)

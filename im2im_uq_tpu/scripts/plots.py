@@ -215,13 +215,17 @@ def plot_ssr(methodnames, results_list, alpha, outdir, prefix):
             "Method": [m.replace(" ", "\n") for m in methodnames for _ in buckets],
         }
     )
-    sns.catplot(
+    # reference plot.py:114-117 uses figure-level catplot(legend=False) +
+    # plt.legend(loc=...); under seaborn>=0.13 that pairing yields NO legend
+    # (catplot leaves no labeled artists) and silently abandons the prepared
+    # 4x4 figure. The axes-level barplot renders the same bars on the
+    # prepared figure with the intended upper-right legend.
+    sns.barplot(
         data=df,
-        kind="bar",
         x="Method",
         y="Size-Stratified Risk",
         hue="Interval Length",
-        legend=False,
+        palette=list(sns.light_palette("salmon"))[: len(buckets)],
     )
     sns.despine(top=True, right=True)
     plt.legend(loc="upper right")
@@ -233,13 +237,20 @@ def plot_ssr(methodnames, results_list, alpha, outdir, prefix):
     plt.close("all")
 
 
+def _coolwarm50():
+    """50-level coolwarm map (reference plot.py:30 ``cm.get_cmap``, which
+    matplotlib removes in 3.11 — use the registry API instead)."""
+    import matplotlib
+
+    return matplotlib.colormaps["coolwarm"].resampled(50)
+
+
 def plot_images_uq(results: dict, outdir: str):
     """Per-image panels: input/prediction/set-sizes/gt + coolwarm UQ overlay
     (reference plot.py:157-176)."""
-    from matplotlib import cm
     from PIL import Image
 
-    uq_cmap = cm.get_cmap("coolwarm", 50)
+    uq_cmap = _coolwarm50()
     for i in range(len(results["predictions"])):
         folder = os.path.join(outdir, "images", str(i))
         os.makedirs(folder, exist_ok=True)
@@ -263,10 +274,9 @@ def plot_images_uq(results: dict, outdir: str):
 
 
 def plot_spatial_miscoverage(methodnames, results_list, outdir, prefix):
-    from matplotlib import cm
     from PIL import Image
 
-    uq_cmap = cm.get_cmap("coolwarm", 50)
+    uq_cmap = _coolwarm50()
     folder = os.path.join(outdir, "spatial_miscoverage")
     os.makedirs(folder, exist_ok=True)
     for m, results in zip(methodnames, results_list):

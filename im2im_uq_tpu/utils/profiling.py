@@ -189,9 +189,12 @@ def device_busy_ops(trace_dir: str, steps: int = 1, top: int = 25) -> Optional[d
 
     The fine-grained companion of device_busy_breakdown — use it to decide
     where kernel/fusion work goes. Returns {'total_ms', 'ops': [(name, ms)]}
-    or None if no trace found.
+    or None if no trace found. Per-chip mean, like device_busy_breakdown —
+    the two functions' total_ms agree on the same trace dir (a multi-chip
+    trace has one lane per device; the raw cross-mesh sum would disagree
+    n-fold with the breakdown).
     """
-    ops = _tpu_op_durations(trace_dir)
+    ops = _tpu_op_durations(trace_dir, per_chip=True)
     if ops is None:
         return None
     total = sum(ops.values())

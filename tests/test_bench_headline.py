@@ -227,3 +227,39 @@ def test_mfu_extra():
     assert out["extras"]["mfu_bf16"] == round(
         14.8e12 / 0.126 / 197e12, 4
     )
+
+
+def test_serving_ingraph_wall_preferred_when_reliable():
+    """Round-5: the in-graph K-batch serving loop is the self-checking wall
+    (VERDICT r4 #3) — when consistent with busy it sets the reliability flag
+    and becomes the serving throughput basis."""
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 127.0,
+        "serving_wall_ms_per_batch_bf16": 0.35,   # early-acked garbage
+        "serving_ingraph_wall_ms_per_batch_bf16": 37.8,
+        "serving_busy_ms_per_batch_bf16": 37.2,
+    })
+    assert out["extras"]["serving_wall_reliable"] is True
+    assert out["extras"]["serving_value_basis"] == "serving_ingraph_wall_bf16"
+    assert out["extras"]["serving_imgs_per_sec_bf16"] == round(
+        BATCH * 1e3 / 37.8, 1
+    )
+
+
+def test_serving_ingraph_wall_below_busy_falls_back():
+    """A memoized/early-acked in-graph serving wall (< 0.9x busy) must not
+    become the serving basis — busy wins, flag False."""
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,
+        "ingraph_wall_ms_per_step_bf16": 127.0,
+        "serving_ingraph_wall_ms_per_batch_bf16": 0.4,
+        "serving_busy_ms_per_batch_bf16": 37.2,
+    })
+    assert out["extras"]["serving_wall_reliable"] is False
+    assert out["extras"]["serving_value_basis"] == "serving_busy_bf16"
+    assert out["extras"]["serving_imgs_per_sec_bf16"] == round(
+        BATCH * 1e3 / 37.2, 1
+    )
