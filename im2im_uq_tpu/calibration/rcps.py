@@ -44,6 +44,8 @@ __all__ = [
     "compute_risks_device",
     "calibrate_model",
     "evaluate_from_loss_table",
+    "evaluate_from_loss_table_fast",
+    "hb_acceptance_threshold",
     "precompile_calibration",
 ]
 
@@ -428,4 +430,80 @@ def evaluate_from_loss_table(
             break
     else:
         print("No rejections made!")
+    return float(val[:, idx].mean())
+
+
+@functools.lru_cache(maxsize=64)
+def hb_acceptance_threshold(n: int, delta: float) -> float:
+    """Largest empirical risk whose HB UCB passes ``<= delta``.
+
+    ``HB_mu_plus(muhat, n, delta)`` is nondecreasing in ``muhat`` (both the
+    Hoeffding-KL and Bentkus tails tighten as the empirical mean falls, and
+    every failure mode returns 1.0), so the reference's per-column
+    acceptance test ``HB_mu_plus(rhat) <= delta``
+    (calibrate_model.py:62-74) is equivalent to ``rhat <= threshold`` for a
+    single threshold depending only on (n, delta). Bisecting to adjacent
+    floats costs ~60 HB evaluations ONCE; each re-split trial of the
+    risk-violin protocol then needs zero root-finds (VERDICT r4 #7: the
+    lazy per-trial loop measured 2.9 s/trial at bsbcm scale N=2560,
+    L=2000 — ~5 min per method for 100 trials).
+
+    One carve-out: ``HB_mu_plus(0.0) == 1.0`` (the reference's HB(0) edge
+    quirk, core/calibration/bounds.py:17-29 — kept byte-exact in our
+    bounds.py), so muhat EXACTLY 0 is always rejected even though any tiny
+    positive muhat passes; rhat == 0 happens routinely via the zeroed
+    early-grid columns of calibration tables. The acceptance set is
+    therefore ``(0, threshold]``, and callers must pair the returned
+    threshold with an ``rhat > 0`` test.
+
+    Returns -inf when even tiny positive muhat is rejected (nothing
+    acceptable at this (n, delta)).
+    """
+    lo = 1e-12  # representative tiny POSITIVE risk (exact 0 is the quirk)
+    if HB_mu_plus(lo, n, delta) > delta:
+        return float("-inf")
+    hi = 1.0
+    if HB_mu_plus(hi, n, delta) <= delta:
+        return hi
+    while True:
+        mid = 0.5 * (lo + hi)
+        if mid <= lo or mid >= hi:  # adjacent floats: converged exactly
+            return lo
+        if HB_mu_plus(mid, n, delta) <= delta:
+            lo = mid
+        else:
+            hi = mid
+
+
+def evaluate_from_loss_table_fast(
+    loss_table: np.ndarray,
+    n: int,
+    alpha: float,
+    delta: float,
+    rng: Optional[np.random.RandomState] = None,
+) -> float:
+    """``evaluate_from_loss_table`` with the per-column HB root-finds
+    replaced by one cached threshold comparison — same trial semantics,
+    same rng draw order, pure numpy per trial.
+
+    Exact modulo an empirical risk landing within one float of the
+    acceptance boundary (the bisection converges to adjacent floats);
+    tests/test_reference_calibration_parity.py pins trial-for-trial
+    agreement with the slow path.
+    """
+    rng = rng or np.random
+    perm = rng.permutation(loss_table.shape[0])
+    shuffled = loss_table[perm]
+    calib, val = shuffled[:n], shuffled[n:]
+    rhats = calib.mean(axis=0)
+    # rhat > 0: HB_mu_plus(0.0) == 1.0 rejects exact-zero risk (see
+    # hb_acceptance_threshold's quirk note)
+    accepted = np.nonzero(
+        (rhats > 0.0) & (rhats <= hb_acceptance_threshold(n, delta))
+    )[0]
+    if accepted.size:
+        idx = int(accepted[0])
+    else:
+        print("No rejections made!")
+        idx = 0
     return float(val[:, idx].mean())

@@ -263,3 +263,20 @@ def test_serving_ingraph_wall_below_busy_falls_back():
     assert out["extras"]["serving_imgs_per_sec_bf16"] == round(
         BATCH * 1e3 / 37.2, 1
     )
+
+
+def test_flops_floor_has_no_n_chips_slack():
+    """cost_analysis FLOPs are PER-DEVICE for SPMD programs (probed on the
+    8-dev CPU mesh: an 8-way-sharded matmul reports 2N^3/8), so the wall
+    floor is per-device FLOPs over ONE chip's peak. Pre-round-5 the floor
+    divided by n_chips too, an n-fold-loose gate on any multi-chip run."""
+    # 14.8e12 per-device FLOPs -> floor 75.1 ms at 197 TFLOP/s; a 10 ms
+    # wall must be rejected even on an 8-chip mesh (old code allowed it:
+    # 14.8e12/(197e12*8) = 9.4 ms floor)
+    out = _run({
+        "n_chips": 8,
+        "ingraph_wall_ms_per_step_bf16": 10.0,
+        "flops_per_step_ingraph_lb": 14.8e12,
+    })
+    assert out["value"] is None
+    assert out["extras"]["ingraph_wall_physical"] is False

@@ -179,3 +179,38 @@ def test_evaluate_from_loss_table_delta_quirk():
 
     ref = float(ref_evaluate(torch.tensor(table), n, alpha, delta))
     assert got == pytest.approx(ref, abs=1e-9)
+
+
+def test_fast_evaluator_matches_slow_trial_for_trial():
+    """Round-5 (VERDICT r4 #7): the risk-violin protocol's fast evaluator
+    (one cached HB acceptance threshold, zero per-trial root-finds) must
+    reproduce evaluate_from_loss_table trial-for-trial — same rng draw
+    order, same selected column — including on tables with zeroed early
+    columns, where the HB(0)=1.0 quirk rejects exact-zero empirical risk."""
+    from im2im_uq_tpu.calibration.rcps import (
+        evaluate_from_loss_table,
+        evaluate_from_loss_table_fast,
+        hb_acceptance_threshold,
+    )
+
+    for seed, scale in [(0, 0.4), (1, 0.05), (2, 1.0)]:
+        rng = np.random.RandomState(seed)
+        base = np.sort(rng.rand(240, 80).astype(np.float32), axis=1)[:, ::-1]
+        table = np.ascontiguousarray(base * scale)
+        table[:, :16] = 0.0  # the stop-rule zeroed-column quirk
+        for t in range(6):
+            slow = evaluate_from_loss_table(
+                table, 120, 0.1, 0.1, np.random.RandomState(100 + t)
+            )
+            fast = evaluate_from_loss_table_fast(
+                table, 120, 0.1, 0.1, np.random.RandomState(100 + t)
+            )
+            assert slow == fast, (seed, t, slow, fast)
+
+    # the threshold itself: boundary floats must bracket the acceptance flip
+    thr = hb_acceptance_threshold(120, 0.1)
+    assert HB_mu_plus(thr, 120, 0.1) <= 0.1
+    assert HB_mu_plus(np.nextafter(thr, 1.0), 120, 0.1) > 0.1
+    # the HB(0) quirk: exact zero is rejected even though tiny positives pass
+    assert HB_mu_plus(0.0, 120, 0.1) == 1.0
+    assert HB_mu_plus(1e-12, 120, 0.1) <= 0.1
