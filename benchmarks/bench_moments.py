@@ -91,6 +91,59 @@ def timeit(fn, x, label):
     return out
 
 
+def ingraph_time(fn, x, label, K=50):
+    """Self-checking in-graph loop (round-5, VERDICT r4 #8): the tunnel
+    memoizes identical fp32 dispatches (the old wall loop once measured a
+    bogus 40 TB/s), so run K iterations inside ONE dispatch with a
+    data-dependent carry. Only one row of x is perturbed per iteration
+    (dynamic-update-slice on the aliased while-loop buffer), so the added
+    traffic is ~C floats — the measured bytes stay the reduction's own.
+    Cross-checked against the profiler's device-busy for the same dispatch:
+    a wall below busy means the ack lied and the number is untrusted."""
+    from jax import lax
+
+    @jax.jit
+    def loop(x0):
+        def body(_, carry):
+            m, v = fn(carry)
+            return carry.at[0, 0, 0, :].add((m + v).astype(carry.dtype) * 1e-12)
+
+        return lax.fori_loop(0, K, body, x0)
+
+    out = loop(x)  # compile + warmup
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = loop(x)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / K)
+    busy_ms = None
+    try:
+        import tempfile
+
+        from im2im_uq_tpu.utils.profiling import device_busy_breakdown
+
+        time.sleep(max(4.0, 3.0 * K * best))  # drain early-acked dispatches
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                out = loop(x)
+                jax.block_until_ready(out)
+                time.sleep(max(4.0, 3.0 * K * best))
+            bd = device_busy_breakdown(td, steps=K)
+        if bd:
+            busy_ms = bd["total_ms"]
+    except Exception as e:
+        print(f"  (busy cross-check failed: {type(e).__name__}: {e})")
+    gb = x.size * x.dtype.itemsize / 1e9
+    wall_ms = best * 1e3
+    ok = busy_ms is not None and wall_ms >= 0.9 * busy_ms
+    print(f"{label:24s} {wall_ms:8.3f} ms/iter ingraph   "
+          f"{gb / best:7.1f} GB/s   busy {busy_ms if busy_ms else float('nan'):.3f} ms   "
+          f"{'CONSISTENT' if ok else 'WALL<BUSY — untrusted' if busy_ms else 'no busy'}")
+    return out
+
+
 def main():
     for dtype in (jnp.float32, jnp.bfloat16):
         x = jnp.asarray(
@@ -99,6 +152,8 @@ def main():
         print(f"--- {dtype.__name__} ({B}x{H}x{W}x{C}) ---")
         m1 = timeit(xla_moments, x, "xla sum/sumsq")
         m2 = timeit(pallas_moments, x, "pallas accumulate")
+        ingraph_time(xla_moments, x, "xla sum/sumsq")
+        ingraph_time(pallas_moments, x, "pallas accumulate")
         np.testing.assert_allclose(
             np.asarray(m1[0]), np.asarray(m2[0]), rtol=1e-3, atol=1e-3
         )

@@ -229,3 +229,29 @@ def test_cli_argument_validation(artifact_env, tmp_path):
     # conflicting --lam vs baked λ̂ → error
     with pytest.raises(SystemExit, match="baked"):
         infer.main(["--artifact", str(art), "--lam", "1.0"] + base)
+
+
+def test_cli_artifact_batch_size_warning_sentinel(artifact_env, tmp_path, capsys):
+    """Round-5 (ADVICE r4): explicit-passing detection uses an argparse
+    sentinel (default None), not argv prefix scanning — any spelling of a
+    mismatching --batch-size warns; omitting it stays silent."""
+    _, _, _, _, art, _ = artifact_env
+    x = np.random.RandomState(3).randn(2, 32, 32, 1).astype(np.float32)
+    np.save(tmp_path / "w.npy", x)
+    base = ["--artifact", str(art), "--input", str(tmp_path / "w.npy")]
+
+    # abbreviated spelling, mismatching the artifact's baked batch of 4
+    rc = infer.main(base + ["--output", str(tmp_path / "o1"), "--batch=64"])
+    assert rc == 0
+    assert "ignored" in capsys.readouterr().err
+
+    # not passed: no warning
+    rc = infer.main(base + ["--output", str(tmp_path / "o2")])
+    assert rc == 0
+    assert "ignored" not in capsys.readouterr().err
+
+    # passed but equal to the baked batch: no warning
+    rc = infer.main(base + ["--output", str(tmp_path / "o3"),
+                            "--batch-size", "4"])
+    assert rc == 0
+    assert "ignored" not in capsys.readouterr().err
