@@ -108,7 +108,7 @@ def _build(config):
 
 
 def _device_busy_ms(step, ts, x, y, mask, steps: int = 3,
-                    prior_work_s: float = 0.0):
+                    step_wall_s: float = 0.0):
     """(busy_ms | None, error | None) from a short profiler trace.
 
     Distinguishes "profiler unavailable" (returns the error string) from a
@@ -119,11 +119,12 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3,
     still be executing when the trace opens — inflating busy — and the
     traced dispatches may outlive their own ack — truncating it.
 
-    ``prior_work_s`` is the caller's measured wall for the work it just
-    dispatched (e.g. its warmup/wall loop). The drain/settle sleeps scale
-    with it rather than assuming the ~126 ms/step flagship model, so a
-    slower config cannot leak early-acked dispatches into the trace window
-    (ADVICE r4 #4); the old constants remain as floors."""
+    ``step_wall_s`` is the caller's measured wall for ONE step of the
+    program about to be traced. The drain/settle sleeps scale with it
+    rather than assuming the ~126 ms/step flagship model, so a slower
+    config cannot leak early-acked dispatches into the trace window
+    (ADVICE r4 #4); the old constants remain as floors. The drain side
+    assumes up to a full TRAIN_STEPS-deep queue of prior dispatches."""
     import jax
     import jax.numpy as jnp
 
@@ -134,8 +135,8 @@ def _device_busy_ms(step, ts, x, y, mask, steps: int = 3,
         # so the caller's buffers survive
         ts = jax.tree.map(lambda a: jnp.array(a, copy=True), ts)
         # worst case the caller's entire just-"finished" loop is still queued
-        time.sleep(max(8.0, 1.5 * prior_work_s))
-        per_step_s = prior_work_s / max(TRAIN_STEPS, 1)
+        time.sleep(max(8.0, 1.5 * TRAIN_STEPS * step_wall_s))
+        per_step_s = step_wall_s
         with tempfile.TemporaryDirectory() as td:
             with jax.profiler.trace(td):
                 for _ in range(steps):
@@ -166,10 +167,10 @@ def leg_train() -> dict:
             ts, loss = step(ts, x, y, mask)
         jax.block_until_ready(loss)
         wall_dts.append(time.perf_counter() - t0)
-    loop_wall_s = sorted(wall_dts)[1]
-    out["wall_ms_per_step_fp32"] = round(loop_wall_s / TRAIN_STEPS * 1e3, 2)
+    step_wall_s = sorted(wall_dts)[1] / TRAIN_STEPS
+    out["wall_ms_per_step_fp32"] = round(step_wall_s * 1e3, 2)
     busy32, err32 = _device_busy_ms(step, ts, x, y, mask,
-                                    prior_work_s=loop_wall_s)
+                                    step_wall_s=step_wall_s)
     out["device_busy_ms_per_step_fp32"] = busy32
     if err32:
         out["device_busy_fp32_error"] = err32
@@ -179,10 +180,9 @@ def leg_train() -> dict:
     mesh, state16, ts16, tx, step16, x, y, mask = _build(bf16_cfg)
     ts16, l16 = step16(ts16, x, y, mask)
     jax.block_until_ready(l16)
-    # prior dispatched work here is the single bf16 warmup step; the fp32
-    # per-step wall is a conservative stand-in for its duration
+    # the fp32 per-step wall is a conservative stand-in for the bf16 step
     busy16, err16 = _device_busy_ms(step16, ts16, x, y, mask,
-                                    prior_work_s=loop_wall_s / TRAIN_STEPS)
+                                    step_wall_s=step_wall_s)
     out["device_busy_ms_per_step_bf16"] = busy16
     if err16:
         out["device_busy_bf16_error"] = err16
@@ -197,7 +197,10 @@ def leg_train() -> dict:
             flops = float(ca0.get("flops", 0.0)) or None
     except Exception:
         pass
-    out["flops_per_step"] = flops or 97e9 * 3 * BATCH
+    # analytic fallback is a GLOBAL whole-batch count; cost_analysis (and
+    # everything downstream: the wall floor, mfu_bf16) uses the PER-DEVICE
+    # convention, so divide by the mesh size
+    out["flops_per_step"] = flops or 97e9 * 3 * BATCH / max(out["n_chips"], 1)
     return out
 
 
@@ -225,14 +228,16 @@ def leg_ingraph() -> dict:
         lts = replicate_tree(mesh, lts)
         lts, l = loop(lts, xd, yd, md)  # compile + warmup
         jax.block_until_ready(l)
-        # measured wall of one loop dispatch, for scaling the drain/settle
-        # sleeps below (ADVICE r4 #4): a slower config must sleep longer.
-        # An early-acked (too-small) wall falls back to the analytic floor.
-        t0 = time.perf_counter()
-        lts, l = loop(lts, xd, yd, md)
-        jax.block_until_ready(l)
-        loop_wall_s = time.perf_counter() - t0
         if tag == "bf16":
+            # measured wall of one loop dispatch, for scaling the
+            # drain/settle sleeps below (ADVICE r4 #4): a slower config
+            # must sleep longer. An early-acked (too-small) wall falls
+            # back to the analytic floor. bf16-only: fp32 has no trace
+            # here, so an extra timing dispatch would be wasted device time
+            t0 = time.perf_counter()
+            lts, l = loop(lts, xd, yd, md)
+            jax.block_until_ready(l)
+            loop_wall_s = time.perf_counter() - t0
             # Self-contained device-busy cross-check + FLOP count: round 4's
             # 07:11 run produced a 355k imgs/s "headline" because the train
             # leg (the only busy source) timed out and the memoized 0.09 ms
@@ -476,7 +481,7 @@ def leg_duty() -> dict:
     jax.block_until_ready(loss)
     step_wall_s = time.perf_counter() - t0
     busy_ms, busy_err = _device_busy_ms(step, ts16, xb, yb, mb,
-                                        prior_work_s=step_wall_s)
+                                        step_wall_s=step_wall_s)
     t0 = time.perf_counter()
     steps = 0
     for xb, yb, mb in iterate_batches(ds, BATCH, shuffle=True,

@@ -418,11 +418,7 @@ def evaluate_from_loss_table(
     which matches the reference's ``nonzero()[0]`` first-index selection
     without bounding all L columns.
     """
-    rng = rng or np.random
-    perm = rng.permutation(loss_table.shape[0])
-    shuffled = loss_table[perm]
-    calib, val = shuffled[:n], shuffled[n:]
-    rhats = calib.mean(axis=0)
+    rhats, val = _resplit_trial(loss_table, n, rng)
     idx = 0  # reference falls back to 0 when nothing is accepted
     for j, rhat in enumerate(rhats):
         if HB_mu_plus(float(rhat), n, delta) <= delta:
@@ -431,6 +427,18 @@ def evaluate_from_loss_table(
     else:
         print("No rejections made!")
     return float(val[:, idx].mean())
+
+
+def _resplit_trial(loss_table: np.ndarray, n: int,
+                   rng: Optional[np.random.RandomState]):
+    """Shared trial prelude for the slow/fast evaluators: one random
+    calib/val re-split (same rng draw order for both) → (calib-half
+    per-column empirical risks, val half)."""
+    rng = rng or np.random
+    perm = rng.permutation(loss_table.shape[0])
+    shuffled = loss_table[perm]
+    calib, val = shuffled[:n], shuffled[n:]
+    return calib.mean(axis=0), val
 
 
 @functools.lru_cache(maxsize=64)
@@ -491,11 +499,7 @@ def evaluate_from_loss_table_fast(
     tests/test_reference_calibration_parity.py pins trial-for-trial
     agreement with the slow path.
     """
-    rng = rng or np.random
-    perm = rng.permutation(loss_table.shape[0])
-    shuffled = loss_table[perm]
-    calib, val = shuffled[:n], shuffled[n:]
-    rhats = calib.mean(axis=0)
+    rhats, val = _resplit_trial(loss_table, n, rng)
     # rhat > 0: HB_mu_plus(0.0) == 1.0 rejects exact-zero risk (see
     # hb_acceptance_threshold's quirk note)
     accepted = np.nonzero(

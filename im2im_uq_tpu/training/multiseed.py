@@ -3,9 +3,11 @@
 The reference runs hyperparameter/seed sweeps as independent wandb-agent
 processes, one grid point at a time (SURVEY.md §2 #20b). TPU-native
 equivalent: stack S model replicas (one per seed) along a leading axis,
-shard that axis over the mesh, and vmap the train step — every chip trains
-its own replica with ZERO cross-chip communication; a sweep over S seeds
-costs one seed's wall-clock.
+shard that axis over the mesh (S must divide the mesh's data axis), and
+``shard_map`` the PLAIN per-seed train step — every chip trains its own
+replica(s) with ZERO cross-chip communication; a sweep over S seeds costs
+one seed's wall-clock. (vmapping the step over stacked params instead
+lowers convs to slow batched-kernel form — see make_multiseed_train_step.)
 
 Calibration composes: each replica's interval params feed the shared loss
 table machinery, and per-replica λ̂s come back as a vector.
