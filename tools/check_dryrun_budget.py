@@ -16,8 +16,12 @@ Default budget 600 s: round 3's 4-leg dryrun passed the driver's budget and
 round 4's ~1221 s run did not, so the real budget lies between; 600 s keeps
 comfortable margin below any plausible value.
 
-Measured on this host (round 5, single-core CPU quota):
-  cold (no cache): 539.8 s   warm (cache hit): see WARM line in output
+Measured on this host (round 5, single-core CPU quota, after the
+shard_map multiseed rewrite and leg shrinks):
+  cold (no cache): 283.9 s = 47% of budget
+  warm (cache hit): 110.4 s = 18% of budget
+(The pre-fix round-4 dryrun ran ~1221 s on this host under the VERDICT
+re-run — the driver killed it at rc=124.)
 """
 
 from __future__ import annotations
