@@ -58,7 +58,7 @@ def test_spatial_sharding_matches_unsharded(small_state):
 
 
 def test_multiseed_training_independent_replicas():
-    # quantile head: its loss is Lipschitz in the params, so the vmapped and
+    # quantile head: its loss is Lipschitz in the params, so the sharded and
     # solo paths agree tightly (gaussian NLL's 1/var amplifies conv-lowering
     # reduction-order noise by ~1e6 and cannot be compared this way)
     cfg = dict(CONFIG, uncertainty_type="quantiles")
@@ -66,7 +66,7 @@ def test_multiseed_training_independent_replicas():
         build_trunk(cfg), cfg, rng=jax.random.key(0), example_input=jnp.zeros((1, 32, 32, 1))
     )
     # seed axis must divide the mesh; 2 seeds on a 2-device submesh keeps the
-    # vmapped-UNet CPU compile affordable for CI
+    # per-seed UNet CPU compile affordable for CI
     mesh = data_parallel_mesh(2)
     tx = optax.adam(1e-3)
     seeds = [0, 1]
