@@ -184,3 +184,25 @@ def test_load_loss_table_torch_save_fallback(tmp_path):
     out = load_loss_table(str(path))
     assert isinstance(out, np.ndarray) and out.shape == (6, 4)
     np.testing.assert_allclose(out, table.numpy(), rtol=1e-6)
+
+
+def test_experiment_plot_wrappers_import_cleanly():
+    """The per-experiment figure wrappers (counterparts of the reference's
+    experiments/*/plot.py) must at least import: they hold the method
+    names, artifact filename lists, and rescale constants the paper
+    figures depend on — a path or constant drift should fail CI, not the
+    figure run."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "experiments"
+    wrappers = sorted(root.glob("*/plot.py"))
+    assert len(wrappers) >= 4, wrappers
+    for path in wrappers:
+        spec = importlib.util.spec_from_file_location(
+            f"plot_wrapper_{path.parent.name}", path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # __name__ != "__main__": no figures run
+        assert hasattr(mod, "METHODNAMES") and hasattr(mod, "RESULTS"), path
+        assert len(mod.METHODNAMES) == len(mod.RESULTS), path
