@@ -18,13 +18,49 @@ both stream through the VPU.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resize_bilinear_align_corners", "upsample2x_align_corners"]
+__all__ = [
+    "resize_bilinear_align_corners",
+    "upsample2x_align_corners",
+    "resize_mesh_scope",
+]
+
+# Trace-time mesh scope (a stack: scopes can nest). A bare pallas_call has
+# no GSPMD partitioning rule, so under a mesh the SPMD partitioner
+# ALL-GATHERS its input, runs the kernel on the full tensor per device, and
+# slices the result (measured: 9 all-gathers in the partitioned HLO of one
+# batch-sharded upsample) — erasing the kernel's win. When a mesh-aware
+# program builder (make_train_step / make_train_multistep) opens this scope
+# around tracing, upsample2x_align_corners wraps the kernel in a shard_map
+# island over the batch axis instead: each device runs its own shard, zero
+# collectives, same per-chip win as single-chip.
+_RESIZE_MESH: list = []
+
+
+@contextlib.contextmanager
+def resize_mesh_scope(mesh):
+    """Enable per-shard Pallas resize under ``mesh`` for code traced inside.
+
+    Pass the mesh the surrounding jit shards its batch over (1-D 'data'
+    meshes only — on a 2-D data×spatial mesh the activations are height-
+    sharded and the island would force a mid-model reshard, so the scope is
+    ignored there and the XLA path runs, which GSPMD halo-exchanges
+    correctly)."""
+    _RESIZE_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _RESIZE_MESH.pop()
+
+
+def _scope_mesh():
+    return _RESIZE_MESH[-1] if _RESIZE_MESH else None
 
 
 @functools.lru_cache(maxsize=128)
@@ -168,15 +204,42 @@ def upsample2x_align_corners(x: jax.Array, backend: str = "auto") -> jax.Array:
     between backends: f32 machine precision for fp32, bf16 resolution for
     bf16, where the kernel accumulates its W pass in f32 and is the more
     accurate side (pinned by tests/test_pallas_resize.py).
-    Multi-device meshes stay on XLA: a pallas_call has no GSPMD
-    partitioning rule, so the SPMD partitioner cannot shard it.
+
+    Multi-device: a bare pallas_call has no GSPMD partitioning rule (the
+    partitioner all-gathers around it — measured), so on a mesh the kernel
+    only runs inside a ``resize_mesh_scope`` — a shard_map island over the
+    1-D 'data' axis, each device upsampling its own batch shard with zero
+    collectives (exactness pinned by tests/test_pallas_resize.py). Without
+    the scope, or on a 2-D (data×spatial) mesh whose activations are
+    height-sharded, the XLA formulation runs and GSPMD partitions it.
     """
     _, h, w, _ = x.shape
     if backend in ("auto", "pallas"):
         from im2im_uq_tpu.ops import pallas_resize as _pr
 
-        if _pr.pallas_upsample_eligible(x.shape, x.dtype) and (
-            backend == "pallas" or (_pr._on_tpu() and jax.device_count() == 1)
-        ):
-            return _pr.upsample2x_pallas(x)
+        if _pr.pallas_upsample_eligible(x.shape, x.dtype):
+            mesh = _scope_mesh()
+            if (
+                mesh is not None
+                and tuple(mesh.axis_names) == ("data",)
+                and mesh.size > 1
+                and x.shape[0] % mesh.size == 0
+                and (backend == "pallas" or _pr._on_tpu())
+            ):
+                from jax.sharding import PartitionSpec as P
+
+                return jax.shard_map(
+                    _pr.upsample2x_pallas,
+                    mesh=mesh,
+                    in_specs=P("data"),
+                    out_specs=P("data"),
+                    # no collectives inside (per-example resize); pallas_call
+                    # carries no varying-across-mesh annotations for the
+                    # check_vma analysis (same as the rcps table island)
+                    check_vma=False,
+                )(x)
+            if backend == "pallas" or (
+                _pr._on_tpu() and jax.device_count() == 1
+            ):
+                return _pr.upsample2x_pallas(x)
     return resize_bilinear_align_corners(x, (2 * h, 2 * w))

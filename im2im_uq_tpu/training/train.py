@@ -28,9 +28,12 @@ import numpy as np
 import optax
 from flax import struct
 
+from contextlib import nullcontext as _nullcontext
+
 from im2im_uq_tpu.data.core import iterate_batches
 from im2im_uq_tpu.models.assembly import UQState
 from im2im_uq_tpu.models.heads import head_loss_pe_fn
+from im2im_uq_tpu.ops.resize import resize_mesh_scope
 from im2im_uq_tpu.parallel import mesh as mesh_lib
 from im2im_uq_tpu.training import checkpoint as ckpt
 from im2im_uq_tpu.utils.logging import MetricsLogger
@@ -83,6 +86,7 @@ def _train_step_body(
     tx: optax.GradientTransformation,
     preprocess: Optional[Callable] = None,
     preprocess_pair: Optional[Callable] = None,
+    mesh=None,
 ):
     """Pure (state, x, y, mask) → (state, loss, grads) step body, shared by
     the per-batch jitted step and the in-graph multi-step loop.
@@ -96,10 +100,18 @@ def _train_step_body(
         raise ValueError("pass preprocess OR preprocess_pair, not both")
 
     def body(state: TrainState, x, y, mask):
-        if preprocess is not None:
-            x = preprocess(x)
-        if preprocess_pair is not None:
-            x, y = preprocess_pair(x, y)
+        # trace-time scope: lets the decoder's fused Pallas upsample run as
+        # a per-shard shard_map island on a 1-D data mesh instead of being
+        # all-gathered by the partitioner (ops/resize.resize_mesh_scope)
+        ctx = resize_mesh_scope(mesh) if mesh is not None else _nullcontext()
+        with ctx:
+            if preprocess is not None:
+                x = preprocess(x)
+            if preprocess_pair is not None:
+                x, y = preprocess_pair(x, y)
+            return _body_inner(state, x, y, mask)
+
+    def _body_inner(state: TrainState, x, y, mask):
 
         def loss_of(params):
             out, updates = model.apply(
@@ -146,7 +158,7 @@ def make_train_multistep(
     building block for dispatch-free burn-in loops on real pods.
     """
     body = _train_step_body(model, loss_pe_fn, hyper, tx, preprocess,
-                            preprocess_pair)
+                            preprocess_pair, mesh=mesh)
 
     def multistep(state: TrainState, x, y, mask):
         def it(_, carry):
@@ -190,7 +202,7 @@ def make_train_step(
     """
 
     body = _train_step_body(model, loss_pe_fn, hyper, tx, preprocess,
-                            preprocess_pair)
+                            preprocess_pair, mesh=mesh)
 
     def train_step(state: TrainState, x, y, mask):
         new_state, loss, grads = body(state, x, y, mask)

@@ -245,3 +245,59 @@ def test_mesh_batch_size_rounds_to_data_axis():
     assert mesh_batch_size(8, mesh) == 8
     assert mesh_batch_size(1, mesh) == 8
     assert mesh_batch_size(78, None) == 78
+
+
+@pytest.mark.full
+def test_mesh_train_step_with_pallas_resize_island():
+    """Round-5: the mesh train step opens resize_mesh_scope, so a
+    resize_backend='pallas' decoder runs the fused upsample as per-shard
+    shard_map islands on the 1-D data mesh (a bare pallas_call would be
+    all-gathered by the partitioner). One step with the island must match
+    the XLA-resize step from identical init."""
+    from im2im_uq_tpu.models.heads import head_loss_pe_fn
+    from im2im_uq_tpu.training.train import TrainState, make_train_step
+
+    mesh = data_parallel_mesh()
+    rng = np.random.RandomState(0)
+    # 64x64: decoder widths 8/16/32/64 clear the kernel's W%8 gate
+    x = rng.randn(8, 64, 64, 1).astype(np.float32)
+    y = rng.randn(8, 64, 64, 1).astype(np.float32)
+    mask = np.ones((8,), np.float32)
+
+    losses, params = [], []
+    for backend in ("xla", "pallas"):
+        cfg = dict(CONFIG, uncertainty_type="quantiles",
+                   resize_backend=backend)
+        state = add_uncertainty(
+            build_trunk(cfg), cfg, rng=jax.random.key(0),
+            example_input=jnp.zeros((1, 64, 64, 1)),
+        )
+        tx = optax.adam(1e-3)
+        ts = TrainState(
+            params=state.variables["params"],
+            batch_stats=state.variables["batch_stats"],
+            opt_state=tx.init(state.variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        ts = replicate_tree(mesh, ts)
+        step = make_train_step(
+            state.model, head_loss_pe_fn("quantiles"), cfg, tx, mesh
+        )
+        ts, loss = step(ts, x, y, mask)
+        jax.block_until_ready(loss)
+        losses.append(float(loss))
+        params.append(jax.device_get(ts.params))
+
+    assert np.isfinite(losses[0]) and np.isfinite(losses[1])
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-4)
+    # post-adam params: the normalized first step maps ULP-level backend
+    # gradient noise on tiny-|g| coordinates to O(lr) update differences,
+    # so the bound is the adam step scale (2*lr), not grad precision —
+    # op-level exactness is pinned by tests/test_pallas_resize.py
+    flat_x = jax.tree_util.tree_leaves_with_path(params[0])
+    flat_p = jax.tree_util.tree_leaves_with_path(params[1])
+    for (path, a), (_, b) in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=0,
+            err_msg=jax.tree_util.keystr(path),
+        )
