@@ -166,7 +166,16 @@ def predict_intervals(
             (xb,) = put_batch(mesh, chunk)
         else:
             xb = jax.device_put(chunk, sharding)
-        out = state.nested_sets(xb, lam=lam)
+        if mesh is not None:
+            # per-shard Pallas resize island on the data mesh (the bare
+            # kernel would be all-gathered by the partitioner) — see
+            # ops/resize.resize_mesh_scope
+            from im2im_uq_tpu.ops.resize import resize_mesh_scope
+
+            with resize_mesh_scope(mesh):
+                out = state.nested_sets(xb, lam=lam)
+        else:
+            out = state.nested_sets(xb, lam=lam)
         if pending is not None:
             _drain(pending)
         pending = (out, real)

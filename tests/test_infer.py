@@ -226,3 +226,28 @@ def test_predict_intervals_mesh_matches_single_device(ckpt_and_config):
     for key in ("lower", "prediction", "upper"):
         assert out[key].shape == (10, 32, 32, 1)
         np.testing.assert_allclose(out[key], ref[key], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.full
+def test_predict_intervals_mesh_with_pallas_resize_island():
+    """Round-5: mesh serving opens resize_mesh_scope, so a pallas-resize
+    decoder serves as per-shard shard_map islands; outputs must match the
+    single-device run (eval-mode BN: running stats, so exactness up to the
+    kernel's f32-accumulating W pass)."""
+    from im2im_uq_tpu.models.assembly import add_uncertainty, build_trunk
+    from im2im_uq_tpu.parallel.mesh import data_parallel_mesh
+
+    cfg = dict(CFG, resize_backend="pallas")
+    state = infer_state = add_uncertainty(
+        build_trunk(cfg), cfg, rng=jax.random.key(0),
+        example_input=jnp.zeros((1, 64, 64, 1)),
+    ).set_lhat(LHAT)
+    x = np.random.RandomState(5).randn(9, 64, 64, 1).astype(np.float32)
+
+    single = infer.predict_intervals(state, x, batch_size=8)
+    mesh = data_parallel_mesh()
+    sharded = infer.predict_intervals(infer_state, x, batch_size=8, mesh=mesh)
+    for k in ("lower", "prediction", "upper"):
+        np.testing.assert_allclose(
+            sharded[k], single[k], rtol=1e-4, atol=1e-5, err_msg=k
+        )
