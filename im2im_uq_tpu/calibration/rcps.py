@@ -25,6 +25,7 @@ Semantics preserved exactly (SURVEY.md §2 quirk list):
 from __future__ import annotations
 
 import functools
+from contextlib import nullcontext as _nullcontext
 from typing import Optional
 
 import jax
@@ -35,6 +36,7 @@ from im2im_uq_tpu.calibration.bounds import HB_mu_plus, WSR_mu_plus
 from im2im_uq_tpu.data.core import iterate_batches
 from im2im_uq_tpu.models.assembly import UQState
 from im2im_uq_tpu.ops import sets as set_ops
+from im2im_uq_tpu.ops.resize import resize_mesh_scope
 from im2im_uq_tpu.parallel import mesh as mesh_lib
 
 __all__ = [
@@ -112,14 +114,19 @@ def _slab_fn(model, utype: str, lam_tuple: tuple, method: str, mesh=None):
         )
 
         def slab(variables, x, y):
-            out = model.apply(variables, x, train=False)
+            # scope inside the traced body: the calibration forward's fused
+            # Pallas resize runs per-shard too (ops/resize.resize_mesh_scope)
+            with resize_mesh_scope(mesh):
+                out = model.apply(variables, x, train=False)
             p = set_ops.interval_params(out, utype)
             return sharded_table(p.pred, p.dl, p.du, y, lam)
 
         return slab
 
     def slab(variables, x, y):
-        out = model.apply(variables, x, train=False)
+        ctx = resize_mesh_scope(mesh) if mesh is not None else _nullcontext()
+        with ctx:
+            out = model.apply(variables, x, train=False)
         params = set_ops.interval_params(out, utype)
         return set_ops.rcps_loss_table(params, y, lam, method=method)
 

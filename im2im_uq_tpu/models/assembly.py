@@ -11,6 +11,7 @@ so the whole train/calibrate/predict surface jits and shards cleanly.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Any, Optional
@@ -52,11 +53,19 @@ def _jitted_forward(model: UQModel):
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_nested_sets(model: UQModel, uncertainty_type: str):
-    """Jitted forward + set construction: (variables, x, λ) → (lo, pred, hi)."""
+def _jitted_nested_sets(model: UQModel, uncertainty_type: str, mesh=None):
+    """Jitted forward + set construction: (variables, x, λ) → (lo, pred, hi).
+
+    ``mesh`` (hashable, part of the cache key) bakes the per-shard Pallas
+    resize island into the program for data-parallel serving — the scope
+    opens INSIDE the traced fn so it cannot depend on which caller traced
+    first (ops/resize.resize_mesh_scope)."""
+    from im2im_uq_tpu.ops.resize import resize_mesh_scope
 
     def fn(variables, x, lam):
-        out = model.apply(variables, x, train=False)
+        ctx = resize_mesh_scope(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            out = model.apply(variables, x, train=False)
         return set_ops.nested_sets_from_output(out, lam, uncertainty_type)
 
     return jax.jit(fn)
@@ -108,9 +117,9 @@ class UQState:
             output, self._resolve_lam(lam), self.uncertainty_type
         )
 
-    def nested_sets(self, x: jax.Array, lam=None):
+    def nested_sets(self, x: jax.Array, lam=None, mesh=None):
         lam = self._resolve_lam(lam)
-        return _jitted_nested_sets(self.model, self.uncertainty_type)(
+        return _jitted_nested_sets(self.model, self.uncertainty_type, mesh)(
             self.variables, x, jnp.float32(lam)
         )
 

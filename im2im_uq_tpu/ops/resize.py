@@ -19,11 +19,14 @@ both stream through the VPU.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from im2im_uq_tpu.parallel.mesh import DATA_AXIS
 
 __all__ = [
     "resize_bilinear_align_corners",
@@ -35,12 +38,17 @@ __all__ = [
 # no GSPMD partitioning rule, so under a mesh the SPMD partitioner
 # ALL-GATHERS its input, runs the kernel on the full tensor per device, and
 # slices the result (measured: 9 all-gathers in the partitioned HLO of one
-# batch-sharded upsample) — erasing the kernel's win. When a mesh-aware
-# program builder (make_train_step / make_train_multistep) opens this scope
-# around tracing, upsample2x_align_corners wraps the kernel in a shard_map
-# island over the batch axis instead: each device runs its own shard, zero
-# collectives, same per-chip win as single-chip.
-_RESIZE_MESH: list = []
+# batch-sharded upsample) — erasing the kernel's win. Mesh-aware program
+# builders open this scope INSIDE their traced bodies (so it is baked into
+# the program regardless of trace order/caching), and
+# upsample2x_align_corners wraps the kernel in a shard_map island over the
+# batch axis instead: each device runs its own shard, zero collectives,
+# same per-chip win as single-chip. A ContextVar (not a module global):
+# concurrent traces in other threads — e.g. the calibration AOT precompile
+# thread — must not observe this thread's scope.
+_RESIZE_MESH: contextvars.ContextVar[tuple] = contextvars.ContextVar(
+    "resize_mesh_stack", default=()
+)
 
 
 @contextlib.contextmanager
@@ -52,15 +60,16 @@ def resize_mesh_scope(mesh):
     sharded and the island would force a mid-model reshard, so the scope is
     ignored there and the XLA path runs, which GSPMD halo-exchanges
     correctly)."""
-    _RESIZE_MESH.append(mesh)
+    token = _RESIZE_MESH.set(_RESIZE_MESH.get() + (mesh,))
     try:
         yield
     finally:
-        _RESIZE_MESH.pop()
+        _RESIZE_MESH.reset(token)
 
 
 def _scope_mesh():
-    return _RESIZE_MESH[-1] if _RESIZE_MESH else None
+    stack = _RESIZE_MESH.get()
+    return stack[-1] if stack else None
 
 
 @functools.lru_cache(maxsize=128)
@@ -221,7 +230,7 @@ def upsample2x_align_corners(x: jax.Array, backend: str = "auto") -> jax.Array:
             mesh = _scope_mesh()
             if (
                 mesh is not None
-                and tuple(mesh.axis_names) == ("data",)
+                and tuple(mesh.axis_names) == (DATA_AXIS,)
                 and mesh.size > 1
                 and x.shape[0] % mesh.size == 0
                 and (backend == "pallas" or _pr._on_tpu())
@@ -231,8 +240,8 @@ def upsample2x_align_corners(x: jax.Array, backend: str = "auto") -> jax.Array:
                 return jax.shard_map(
                     _pr.upsample2x_pallas,
                     mesh=mesh,
-                    in_specs=P("data"),
-                    out_specs=P("data"),
+                    in_specs=P(DATA_AXIS),
+                    out_specs=P(DATA_AXIS),
                     # no collectives inside (per-example resize); pallas_call
                     # carries no varying-across-mesh annotations for the
                     # check_vma analysis (same as the rcps table island)

@@ -166,16 +166,10 @@ def predict_intervals(
             (xb,) = put_batch(mesh, chunk)
         else:
             xb = jax.device_put(chunk, sharding)
-        if mesh is not None:
-            # per-shard Pallas resize island on the data mesh (the bare
-            # kernel would be all-gathered by the partitioner) — see
-            # ops/resize.resize_mesh_scope
-            from im2im_uq_tpu.ops.resize import resize_mesh_scope
-
-            with resize_mesh_scope(mesh):
-                out = state.nested_sets(xb, lam=lam)
-        else:
-            out = state.nested_sets(xb, lam=lam)
+        # mesh is part of the jitted program's cache key, baking the
+        # per-shard Pallas resize island in (a bare pallas_call under GSPMD
+        # is all-gathered) — see models/assembly._jitted_nested_sets
+        out = state.nested_sets(xb, lam=lam, mesh=mesh)
         if pending is not None:
             _drain(pending)
         pending = (out, real)

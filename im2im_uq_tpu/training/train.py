@@ -239,11 +239,14 @@ def make_eval_loss_step(
         raise ValueError("pass preprocess OR preprocess_pair, not both")
 
     def eval_step(variables, x, y, mask):
-        if preprocess is not None:
-            x = preprocess(x)
-        if preprocess_pair is not None:
-            x, y = preprocess_pair(x, y)
-        out = model.apply(variables, x, train=False)
+        # same per-shard Pallas resize island as the train step
+        ctx = resize_mesh_scope(mesh) if mesh is not None else _nullcontext()
+        with ctx:
+            if preprocess is not None:
+                x = preprocess(x)
+            if preprocess_pair is not None:
+                x, y = preprocess_pair(x, y)
+            out = model.apply(variables, x, train=False)
         return _masked_mean(loss_pe_fn(out, y, hyper), mask), jnp.sum(mask)
 
     if mesh is None:

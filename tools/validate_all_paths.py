@@ -11,12 +11,15 @@ BASE = os.environ.get("VALIDATE_DIR", "/tmp/im2im_uq_validate")
 os.makedirs(BASE, exist_ok=True)
 # stale out_* artifacts from an earlier run trip the router's skip-if-done
 # (run_experiment returns None for precomputed results) — every validation
-# run must recompute from scratch
-import glob as _glob
-import shutil as _shutil
+# run must recompute from scratch. Only auto-wipe the DEFAULT scratch dir;
+# a user-supplied VALIDATE_DIR may hold results they want, so there the
+# wipe must be requested explicitly (VALIDATE_FRESH=1).
+if "VALIDATE_DIR" not in os.environ or os.environ.get("VALIDATE_FRESH") == "1":
+    import glob as _glob
+    import shutil as _shutil
 
-for _d in _glob.glob(os.path.join(BASE, "out_*")):
-    _shutil.rmtree(_d, ignore_errors=True)
+    for _d in _glob.glob(os.path.join(BASE, "out_*")):
+        _shutil.rmtree(_d, ignore_errors=True)
 
 # --- fastmri: synthetic HDF5 volumes ---
 from im2im_uq_tpu.data.fastmri import write_synthetic_volume
