@@ -196,7 +196,16 @@ class ServingArtifact:
     def uncertainty_type(self) -> str:
         return self.meta["uncertainty_type"]
 
-    def nested_sets(self, x, lam=None):
+    def nested_sets(self, x, lam=None, mesh=None):
+        # ``mesh`` kept for UQState signature compatibility
+        # (predict_intervals passes it); an artifact's sharding is baked at
+        # export time, so a live mesh cannot apply here
+        if mesh is not None:
+            raise ValueError(
+                "serving artifacts bake their sharding at export time — "
+                "re-export with --n-devices for a data-parallel artifact "
+                "instead of passing mesh="
+            )
         if lam is not None and abs(float(lam) - self.lhat) > 1e-9:
             raise ValueError(
                 f"λ={lam} requested but λ̂={self.lhat} is baked into the "

@@ -255,3 +255,13 @@ def test_cli_artifact_batch_size_warning_sentinel(artifact_env, tmp_path, capsys
                             "--batch-size", "4"])
     assert rc == 0
     assert "ignored" not in capsys.readouterr().err
+
+
+def test_artifact_nested_sets_rejects_live_mesh(artifact_env):
+    """UQState.nested_sets grew a mesh= kwarg (round-5 serving islands);
+    artifacts keep signature compatibility but must refuse a live mesh —
+    their sharding is baked at export time."""
+    _, _, _, _, art, _ = artifact_env
+    loaded = export_serving.load_serving_artifact(str(art))
+    with pytest.raises(ValueError, match="bake"):
+        loaded.nested_sets(np.zeros((4, 32, 32, 1), np.float32), mesh=object())
