@@ -649,7 +649,20 @@ def compute_headline(extras: dict, leg_errors: dict,
     extras["n_chips"] = n_chips
     busy16_train = extras.get("device_busy_ms_per_step_bf16")
     busy16_ig = extras.get("ingraph_busy_ms_per_step_bf16")
-    busy16 = busy16_train or busy16_ig
+    # Prefer the ingraph leg's OWN trace for cross-checking the ingraph
+    # wall: wall and busy then measure the SAME dispatch. Measured failure
+    # (round-5 final gate, during a relay flap): the train leg's trace
+    # caught a burst of early-acked queued dispatches (2679 ms/step "busy"
+    # vs the settled 126) while the ingraph pair stayed internally
+    # consistent (127.29 wall vs 125.85 own busy) — pairing the honest
+    # wall against the other leg's polluted busy demoted the headline to
+    # the polluted number. The train busy remains reported in extras and
+    # a >1.5x disagreement between the two busy sources is flagged.
+    busy16 = busy16_ig or busy16_train
+    if busy16_train and busy16_ig:
+        ratio = max(busy16_train, busy16_ig) / min(busy16_train, busy16_ig)
+        if ratio > 1.5:
+            extras["busy_sources_disagree"] = round(ratio, 2)
     busy32 = extras.get("device_busy_ms_per_step_fp32")
     ingraph16 = extras.get("ingraph_wall_ms_per_step_bf16")
     wall32 = extras.get("wall_ms_per_step_fp32")
@@ -712,8 +725,8 @@ def compute_headline(extras: dict, leg_errors: dict,
         basis = "ingraph_wall_bf16"
     elif busy16:
         imgs_per_sec = BATCH * 1e3 / busy16 / n_chips
-        basis = ("device_busy_bf16" if busy16_train
-                 else "device_busy_bf16 (ingraph trace)")
+        basis = ("device_busy_bf16 (ingraph trace)" if busy16_ig
+                 else "device_busy_bf16")
     elif ingraph16 and flops_train and ingraph_physical:
         # No bf16 busy survived, but the train leg's ACCURATE FLOP count
         # did and the bf16 wall clears that tight floor — an honest bf16
@@ -758,12 +771,15 @@ def compute_headline(extras: dict, leg_errors: dict,
         extras["wall_clock_reliable"] = wall32 >= busy32
     if busy32:
         extras["device_busy_imgs_per_sec_fp32"] = round(BATCH * 1e3 / busy32, 1)
-    # MFU only from the train leg's pair: the ingraph FLOP count is a
-    # K-fold lower bound (while-body counted once), unusable as a numerator
+    # MFU numerator only from the train leg's ACCURATE FLOP count (the
+    # ingraph count is a K-fold lower bound); the busy denominator uses the
+    # same ig-preferred source as the headline — the train leg's trace can
+    # be burst-polluted (see busy16 selection above) and a polluted
+    # denominator made a 0.597-MFU step report 0.028
     flops = extras.get("flops_per_step")
-    if busy16_train and flops:
+    if busy16 and flops:
         extras["mfu_bf16"] = round(
-            flops / (busy16_train / 1e3) / PEAK_BF16_FLOPS_PER_CHIP, 4
+            flops / (busy16 / 1e3) / PEAK_BF16_FLOPS_PER_CHIP, 4
         )
     serve_busy = extras.get("serving_busy_ms_per_batch_bf16")
     serve_ig2 = extras.get("serving_ingraph_wall_ms_per_batch_bf16")

@@ -280,3 +280,28 @@ def test_flops_floor_has_no_n_chips_slack():
     })
     assert out["value"] is None
     assert out["extras"]["ingraph_wall_physical"] is False
+
+
+def test_polluted_train_busy_does_not_demote_consistent_ingraph_pair():
+    """Replay of the round-5 final-gate failure: during a relay flap the
+    train leg's trace caught a burst of early-acked queued dispatches
+    (2679 ms/step "busy" vs the settled 126) while the ingraph leg's OWN
+    pair stayed consistent (127.29 wall vs 125.85 busy). The wall must be
+    cross-checked against its own leg's busy — not demoted to the other
+    leg's polluted number (which reported 11.9 imgs/s and MFU 0.028 for a
+    0.597-MFU step)."""
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 2679.39,   # polluted
+        "ingraph_busy_ms_per_step_bf16": 125.85,   # self-consistent pair
+        "ingraph_wall_ms_per_step_bf16": 127.29,
+        "flops_per_step": 14.8e12,
+    })
+    assert out["extras"]["value_basis"] == "ingraph_wall_bf16"
+    assert out["extras"]["ingraph_wall_reliable"] is True
+    assert out["value"] == round(BATCH * 1e3 / 127.29, 3)
+    assert out["extras"]["busy_sources_disagree"] == round(2679.39 / 125.85, 2)
+    # MFU uses the ig-preferred busy, not the polluted train trace
+    assert out["extras"]["mfu_bf16"] == round(
+        14.8e12 / (125.85 / 1e3) / 197e12, 4
+    )
