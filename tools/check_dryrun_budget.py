@@ -17,9 +17,10 @@ round 4's ~1221 s run did not, so the real budget lies between; 600 s keeps
 comfortable margin below any plausible value.
 
 Measured on this host (round 5, single-core CPU quota, after the
-shard_map multiseed rewrite and leg shrinks):
-  cold (no cache): 283.9 s = 47% of budget
-  warm (cache hit): 110.4 s = 18% of budget
+shard_map multiseed rewrite and leg shrinks; final 8-leg tree incl. the
+resize-island leg):
+  cold (no cache): 220.9 s = 37% of budget
+  warm (cache hit): 100-160 s = 17-26% of budget (host-load dependent)
 (The pre-fix round-4 dryrun ran ~1221 s on this host under the VERDICT
 re-run — the driver killed it at rc=124.)
 """
