@@ -649,20 +649,23 @@ def compute_headline(extras: dict, leg_errors: dict,
     extras["n_chips"] = n_chips
     busy16_train = extras.get("device_busy_ms_per_step_bf16")
     busy16_ig = extras.get("ingraph_busy_ms_per_step_bf16")
-    # Prefer the ingraph leg's OWN trace for cross-checking the ingraph
-    # wall: wall and busy then measure the SAME dispatch. Measured failure
-    # (round-5 final gate, during a relay flap): the train leg's trace
-    # caught a burst of early-acked queued dispatches (2679 ms/step "busy"
-    # vs the settled 126) while the ingraph pair stayed internally
-    # consistent (127.29 wall vs 125.85 own busy) — pairing the honest
-    # wall against the other leg's polluted busy demoted the headline to
-    # the polluted number. The train busy remains reported in extras and
-    # a >1.5x disagreement between the two busy sources is flagged.
-    busy16 = busy16_ig or busy16_train
+    # When BOTH busy sources exist, take the SMALLER. Rationale: the only
+    # busy-corruption mode measured on this tunnel INFLATES — a relay flap
+    # lets a burst of early-acked queued dispatches land inside a trace
+    # window (round-5 final gate: train leg 2679 ms/step "busy" vs the
+    # settled 126, while the ingraph leg's own pair stayed consistent at
+    # 127.29 wall / 125.85 busy) — and the burst can land in EITHER leg's
+    # trace, so preferring a fixed leg just mirrors the failure. The
+    # deflation mode (trace truncation) is guarded separately by the
+    # drain/settle sleeps. Disagreement >1.5x is flagged; both raw values
+    # stay in the extras.
     if busy16_train and busy16_ig:
+        busy16 = min(busy16_train, busy16_ig)
         ratio = max(busy16_train, busy16_ig) / min(busy16_train, busy16_ig)
         if ratio > 1.5:
             extras["busy_sources_disagree"] = round(ratio, 2)
+    else:
+        busy16 = busy16_ig or busy16_train
     busy32 = extras.get("device_busy_ms_per_step_fp32")
     ingraph16 = extras.get("ingraph_wall_ms_per_step_bf16")
     wall32 = extras.get("wall_ms_per_step_fp32")
@@ -725,7 +728,8 @@ def compute_headline(extras: dict, leg_errors: dict,
         basis = "ingraph_wall_bf16"
     elif busy16:
         imgs_per_sec = BATCH * 1e3 / busy16 / n_chips
-        basis = ("device_busy_bf16 (ingraph trace)" if busy16_ig
+        basis = ("device_busy_bf16 (ingraph trace)"
+                 if busy16 == busy16_ig and busy16 != busy16_train
                  else "device_busy_bf16")
     elif ingraph16 and flops_train and ingraph_physical:
         # No bf16 busy survived, but the train leg's ACCURATE FLOP count

@@ -305,3 +305,23 @@ def test_polluted_train_busy_does_not_demote_consistent_ingraph_pair():
     assert out["extras"]["mfu_bf16"] == round(
         14.8e12 / (125.85 / 1e3) / 197e12, 4
     )
+
+
+def test_polluted_ingraph_busy_does_not_demote_honest_wall_either():
+    """Mirror of the previous test: the burst can land in EITHER leg's
+    trace. With the train busy honest and the ingraph busy polluted, the
+    min-of-sources rule keeps the honest cross-check and the wall basis."""
+    out = _run({
+        "n_chips": 1,
+        "device_busy_ms_per_step_bf16": 126.0,      # honest
+        "ingraph_busy_ms_per_step_bf16": 2679.39,   # polluted
+        "ingraph_wall_ms_per_step_bf16": 127.29,
+        "flops_per_step": 14.8e12,
+    })
+    assert out["extras"]["value_basis"] == "ingraph_wall_bf16"
+    assert out["extras"]["ingraph_wall_reliable"] is True
+    assert out["value"] == round(BATCH * 1e3 / 127.29, 3)
+    assert out["extras"]["busy_sources_disagree"] == round(2679.39 / 126.0, 2)
+    assert out["extras"]["mfu_bf16"] == round(
+        14.8e12 / (126.0 / 1e3) / 197e12, 4
+    )
